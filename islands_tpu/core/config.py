@@ -1,0 +1,186 @@
+"""Configuration types for the LEANN-style index.
+
+Mirrors the behavioral surface of the reference's config structs
+(src/core/leann.rs:321-460, src/core/pq.rs:12-65, src/core/search.rs:8-52)
+while adding the TPU-specific knobs (wave size, beam expansion width, dtypes)
+that the batched device pipeline needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class DistanceMetric(str, enum.Enum):
+    """Distance metrics (reference: src/core/distance.rs:7-19).
+
+    All are *distances*: lower is better.
+    - COSINE: 1 - cosine_similarity (zero vectors -> 1.0)
+    - EUCLIDEAN: L2 distance
+    - DOT_PRODUCT: negative dot product
+    - MANHATTAN: L1 distance
+    """
+
+    COSINE = "cosine"
+    EUCLIDEAN = "euclidean"
+    DOT_PRODUCT = "dotproduct"
+    MANHATTAN = "manhattan"
+
+
+class PruningStrategy(str, enum.Enum):
+    """Candidate-pruning strategies before embedding recompute
+    (reference: src/core/leann.rs:167-178).
+    """
+
+    GLOBAL = "global"
+    LOCAL = "local"
+    PROPORTIONAL = "proportional"
+
+
+class ConfigError(ValueError):
+    """Invalid configuration (reference: CoreError::InvalidConfig)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class LeannConfig:
+    """LEANN index configuration (reference: src/core/leann.rs:321-460).
+
+    Defaults follow the paper parameters (`paper_default`, leann.rs:386-403):
+    M=30, m0=60, efConstruction=128, efSearch=64, top-2% hub preservation.
+
+    TPU-specific fields (no referent in the reference, which inserts nodes one
+    at a time): `wave_size` is how many vectors are inserted per batched
+    construction wave; `expand_width` is how many frontier nodes each query
+    expands per search hop (the reference pops one heap entry per hop).
+    """
+
+    m: int = 30
+    m0: int = 60
+    ef_construction: int = 128
+    ml: float = 1.0 / math.log(30.0)
+    max_layers: int = 16
+    metric: DistanceMetric = DistanceMetric.COSINE
+    ef_search: int = 64
+    beam_width: int = 1
+    prune_ratio: float = 0.0
+    pruning_strategy: PruningStrategy = PruningStrategy.GLOBAL
+    high_degree_pruning: bool = True
+    hub_percentile: float = 0.02
+    is_compact: bool = True
+    is_recompute: bool = True
+
+    # --- TPU build/search pipeline knobs ---
+    wave_size: int = 1024
+    expand_width: int = 4
+    # Extra reverse-edge slots per node during construction; overflowing nodes
+    # are repaired (pruned back to m0 by distance) at the end of each wave.
+    reverse_slack: int = 60
+    # Intra-wave brute-force neighbors merged into each new node's candidates
+    # (restores the links sequential insertion would have created in-wave).
+    intra_wave_k: int = 30
+    seed: int = 0
+
+    @staticmethod
+    def paper_default() -> "LeannConfig":
+        return LeannConfig()
+
+    @staticmethod
+    def fast() -> "LeannConfig":
+        """Speed-optimized preset (reference: leann.rs:406-416)."""
+        return LeannConfig(
+            m=16,
+            m0=32,
+            ef_construction=100,
+            ef_search=32,
+            prune_ratio=0.3,
+            reverse_slack=32,
+            intra_wave_k=16,
+        )
+
+    @staticmethod
+    def accurate() -> "LeannConfig":
+        """Accuracy-optimized preset (reference: leann.rs:419-429)."""
+        return LeannConfig(
+            m=48,
+            m0=96,
+            ef_construction=400,
+            ef_search=128,
+            prune_ratio=0.0,
+            reverse_slack=96,
+            intra_wave_k=48,
+        )
+
+    def validate(self) -> None:
+        """Reference: leann.rs:432-460."""
+        if self.m <= 0:
+            raise ConfigError("M must be > 0")
+        if self.m0 < self.m:
+            raise ConfigError("M0 must be >= M")
+        if self.ef_construction < self.m:
+            raise ConfigError("ef_construction must be >= M")
+        if not 0.0 <= self.prune_ratio <= 1.0:
+            raise ConfigError("prune_ratio must be in [0.0, 1.0]")
+        if self.beam_width <= 0:
+            raise ConfigError("beam_width must be > 0")
+        if not 0.0 <= self.hub_percentile <= 1.0:
+            raise ConfigError("hub_percentile must be in [0.0, 1.0]")
+        if self.wave_size <= 0:
+            raise ConfigError("wave_size must be > 0")
+        if self.expand_width <= 0:
+            raise ConfigError("expand_width must be > 0")
+
+
+@dataclasses.dataclass(frozen=True)
+class PQConfig:
+    """Product quantization configuration (reference: src/core/pq.rs:12-65)."""
+
+    num_subquantizers: int = 8
+    num_centroids: int = 256
+    training_iterations: int = 25
+    seed: int | None = None
+
+    def validate(self, dimension: int) -> None:
+        if self.num_subquantizers <= 0:
+            raise ConfigError("num_subquantizers must be > 0")
+        if dimension % self.num_subquantizers != 0:
+            raise ConfigError(
+                f"dimension {dimension} must be divisible by "
+                f"num_subquantizers {self.num_subquantizers}"
+            )
+        if not 1 <= self.num_centroids <= 65536:
+            raise ConfigError("num_centroids must be in range [1, 65536]")
+
+    @property
+    def bytes_per_vector(self) -> int:
+        """Reference: pq.rs:57-64 (u8 codes for <=256 centroids, else u16)."""
+        if self.num_centroids <= 256:
+            return self.num_subquantizers
+        return self.num_subquantizers * 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Search-time configuration (reference: src/core/search.rs:8-52)."""
+
+    top_k: int = 10
+    ef: int = 100
+    include_vectors: bool = False
+    include_metadata: bool = True
+    min_similarity: float | None = None
+    # Two-level search (spec Algorithm 2): fraction of the approximate queue
+    # promoted to exact scoring per hop.
+    rerank_ratio: float = 0.1
+
+    def validate(self) -> None:
+        if self.top_k <= 0:
+            raise ConfigError("top_k must be > 0")
+        if self.ef < self.top_k:
+            raise ConfigError("ef must be >= top_k")
+
+
+def distance_to_similarity(distance: float) -> float:
+    """Score mapping used by the reference's SearchResult::to_similarity
+    (src/core/search.rs:55-103): similarity = 1 / (1 + distance)."""
+    return 1.0 / (1.0 + distance)
