@@ -1,0 +1,440 @@
+"""Wave-batched graph construction.
+
+TPU-native reformulation of the reference's one-node-at-a-time incremental
+build (src/core/leann.rs:560-631): vectors are inserted in fixed-size waves.
+Each wave
+  1. batched-beam-searches the pre-wave graph for efConstruction candidates
+     per new node (reference: search_layer_with_adjacency, leann.rs:692-749),
+  2. merges brute-force intra-wave nearest neighbors (restoring the links
+     sequential insertion would have created within the wave),
+  3. applies high-degree-preserving pruning to m0 (Algorithm 3; reference:
+     prune_with_degree_preservation_temp, leann.rs:761-833 — hub threshold =
+     top `hub_percentile` of candidate degrees, max(m0/4, 1) reserved hub
+     slots, remainder filled nearest-first),
+  4. writes forward edges, scatter-appends reverse edges into per-node slack
+     slots (reference: bidirectional edges at leann.rs:592-607),
+  5. repairs nodes whose degree exceeded m0 by re-pruning to the m0 nearest
+     (reference: prune_neighbors_temp, leann.rs:634-658).
+
+Wave insertion changes insertion order vs the sequential reference, so graphs
+are not structurally identical — recall parity (tests/test_build.py) is the
+correctness criterion, per SURVEY.md §7 "hard parts".
+
+Temporary embeddings live in HBM only during the build and are dropped after
+(the LEANN storage contract: only the graph is kept, leann.rs:556-631).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islands_tpu.core.config import DistanceMetric, LeannConfig
+from islands_tpu.core.csr import SENTINEL, CsrGraph
+from islands_tpu.core.search import _search_one, make_stored_scorer
+from islands_tpu.ops import distance as dist_ops
+
+Array = jax.Array
+_INF = jnp.float32(jnp.inf)
+_IMAX = jnp.int32(2**31 - 1)
+
+
+def sample_levels(n: int, ml: float, max_layers: int, seed: int) -> np.ndarray:
+    """Geometric level assignment: floor(-ln(U) * ml), capped
+    (reference: leann.rs:549-554). Precomputable — levels are data-independent,
+    so the whole schedule (including per-wave entry points) is known up front.
+    """
+    rng = np.random.default_rng(seed)
+    u = rng.random(n)
+    levels = np.floor(-np.log(np.maximum(u, 1e-12)) * ml).astype(np.int32)
+    return np.minimum(levels, max_layers - 1)
+
+
+def _prefix_entries(levels: np.ndarray) -> np.ndarray:
+    """entry[i] = entry point of the graph containing nodes [0, i): the first
+    node achieving the running max level (strict-> update rule at
+    leann.rs:610-613)."""
+    n = len(levels)
+    entries = np.zeros(n + 1, dtype=np.int32)
+    best, best_id = -1, 0
+    for i in range(n):
+        entries[i] = best_id
+        if levels[i] > best:
+            best, best_id = int(levels[i]), i
+    entries[n] = best_id
+    entries[0] = 0
+    return entries
+
+
+def _rank_of(keys: Array) -> Array:
+    """rank[i] = position of element i in ascending sort of keys."""
+    order = jnp.argsort(keys)
+    return jnp.argsort(order)
+
+
+def _select_neighbors(
+    cand_ids: Array,
+    cand_dists: Array,
+    degrees: Array,
+    m0: int,
+    hub_percentile: float,
+    high_degree_pruning: bool,
+) -> tuple[Array, Array]:
+    """Single-row neighbor selection (vmapped over the wave).
+
+    Vectorization of leann.rs:761-833: candidates are assigned a composite
+    priority — reserved hubs (by degree desc), then regulars (by distance
+    asc), then leftover hubs — and the m0 smallest priorities win. When fewer
+    than m0 candidates are valid this keeps them all, matching the reference's
+    early return at leann.rs:767-769.
+    """
+    c = cand_ids.shape[0]
+    n = degrees.shape[0]
+    valid = (cand_ids >= 0) & (cand_dists < _INF)
+    hub_slots = max(m0 // 4, 1)
+
+    deg = jnp.where(valid, degrees[jnp.clip(cand_ids, 0, n - 1)], -1)
+    if high_degree_pruning:
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        hub_count = jnp.ceil(n_valid.astype(jnp.float32) * hub_percentile).astype(jnp.int32)
+        sorted_deg = -jnp.sort(-deg)  # descending
+        thr_idx = jnp.clip(hub_count - 1, 0, c - 1)
+        threshold = jnp.where(
+            (hub_count > 0) & (hub_count < n_valid), sorted_deg[thr_idx], _IMAX
+        )
+        is_hub = valid & (deg >= threshold) & (threshold < _IMAX)
+    else:
+        is_hub = jnp.zeros_like(valid)
+
+    # Hubs ranked by degree descending; regulars by distance ascending.
+    hub_rank = _rank_of(jnp.where(is_hub, -deg, _IMAX))
+    reg_key = jnp.where(valid & ~is_hub, cand_dists, _INF)
+    reg_rank = _rank_of(reg_key)
+
+    big = jnp.int32(4 * c)
+    priority = jnp.where(
+        is_hub & (hub_rank < hub_slots),
+        hub_rank,
+        jnp.where(
+            valid & ~is_hub,
+            hub_slots + reg_rank,
+            jnp.where(is_hub, c + hub_slots + hub_rank, big),
+        ),
+    )
+    _, sel_pos = jax.lax.top_k(-priority, m0)
+    sel_ok = priority[sel_pos] < big
+    sel_ids = jnp.where(sel_ok, cand_ids[sel_pos], SENTINEL)
+    sel_dists = jnp.where(sel_ok, cand_dists[sel_pos], _INF)
+    return sel_ids, sel_dists
+
+
+def _repair_rows(
+    neighbors: Array,
+    degrees: Array,
+    node_ids: Array,
+    x_prepped: Array,
+    m0: int,
+    metric: DistanceMetric,
+) -> tuple[Array, Array]:
+    """Re-prune the neighbor lists of `node_ids` (padded with N for no-ops):
+    dedup, score against the node's own embedding, keep the m0 nearest
+    (reference: prune_neighbors_temp, leann.rs:634-658)."""
+    n, bw = neighbors.shape
+    safe = jnp.clip(node_ids, 0, n - 1)
+    rows = neighbors[safe]  # [R, BW]
+
+    # Dedup within each row: sort ids, mask repeats and sentinels.
+    sorted_rows = jnp.sort(jnp.where(rows == SENTINEL, n, rows), axis=1)
+    prev = jnp.pad(sorted_rows[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+    keep = (sorted_rows < n) & (sorted_rows != prev)
+
+    q = x_prepped[safe]
+    nbr_emb = x_prepped[jnp.clip(sorted_rows, 0, x_prepped.shape[0] - 1)]
+    d = dist_ops.rows_distance(q, nbr_emb, metric)
+    d = jnp.where(keep, d, _INF)
+
+    order = jnp.argsort(d, axis=1)
+    d_sorted = jnp.take_along_axis(d, order, axis=1)
+    ids_sorted = jnp.take_along_axis(sorted_rows, order, axis=1)
+    kth_valid = d_sorted < _INF
+    new_rows = jnp.where(kth_valid, ids_sorted, SENTINEL).astype(jnp.int32)
+    new_rows = new_rows.at[:, m0:].set(SENTINEL)
+    new_deg = jnp.sum(kth_valid[:, :m0].astype(jnp.int32), axis=1)
+
+    neighbors = neighbors.at[node_ids].set(new_rows, mode="drop")
+    degrees = degrees.at[node_ids].set(new_deg, mode="drop")
+    return neighbors, degrees
+
+
+def _scatter_reverse_edges(
+    neighbors: Array,
+    degrees: Array,
+    sel_ids: Array,
+    sel_dists: Array,
+    src_ids: Array,
+    edge_valid: Array,
+) -> tuple[Array, Array]:
+    """Append src -> slot in each selected neighbor's list.
+
+    Fixed-shape equivalent of the reference's per-edge `adjacency[nid].push`
+    (leann.rs:593-607): edges are sorted by (dst, dist) so when a node's slack
+    fills up within a wave the *nearest* incoming sources win slots; dropped
+    ones would have been pruned by the repair pass anyway.
+    """
+    n, bw = neighbors.shape
+    dst = jnp.where(edge_valid, sel_ids, n).reshape(-1)
+    dist = jnp.where(edge_valid, sel_dists, _INF).reshape(-1)
+    src = src_ids.reshape(-1)
+
+    dst_s, dist_s, src_s = jax.lax.sort((dst, dist, src), num_keys=2)
+    e = dst_s.shape[0]
+    idx = jnp.arange(e, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    pos = idx - seg_start
+
+    base = degrees[jnp.clip(dst_s, 0, n - 1)]
+    slot = base + pos
+    ok = (dst_s < n) & (slot < bw)
+    dst_w = jnp.where(ok, dst_s, n)  # out-of-bounds -> dropped
+    neighbors = neighbors.at[dst_w, jnp.clip(slot, 0, bw - 1)].set(src_s, mode="drop")
+    degrees = degrees.at[dst_w].add(ok.astype(jnp.int32), mode="drop")
+    return neighbors, degrees
+
+
+def wave_body(
+    neighbors: Array,
+    degrees: Array,
+    s: Array,
+    entry: Array,
+    x_prepped: Array,
+    count: Array | None = None,
+    *,
+    config: LeannConfig,
+    n: int,
+    wave: int,
+    buffer_width: int,
+    max_iters: int,
+):
+    """One construction wave: insert nodes [s, s+wave) into the graph.
+
+    Pure function of its array arguments so it can run under jit (single
+    chip) or shard_map (per-shard archipelago build). `x_prepped` must be
+    padded to at least n + wave rows (see build_index). `count` is the
+    logical number of vectors (defaults to the structural size n); shards
+    whose corpora are padded pass count < n so padding rows never insert.
+    """
+    if count is None:
+        count = jnp.int32(n)
+    m0 = config.m0
+    efc = config.ef_construction
+    metric = config.metric
+    intra_k = min(config.intra_wave_k, wave - 1) if wave > 1 else 0
+    scorer = make_stored_scorer(x_prepped, metric)
+    d = x_prepped.shape[1]
+
+    select = jax.vmap(
+        functools.partial(
+            _select_neighbors,
+            m0=m0,
+            hub_percentile=config.hub_percentile,
+            high_degree_pruning=config.high_degree_pruning,
+        ),
+        in_axes=(0, 0, None),
+    )
+
+    wave_ids = s + jnp.arange(wave, dtype=jnp.int32)
+    wave_ok = wave_ids < count
+    q = jax.lax.dynamic_slice(x_prepped, (s, 0), (wave, d))
+
+    # 1. candidates from the existing graph
+    search = functools.partial(
+        _search_one,
+        neighbors=neighbors,
+        entry_point=entry,
+        scorer=scorer,
+        ef=efc,
+        expand_width=config.expand_width,
+        max_iters=max_iters,
+    )
+    g_dists, g_ids = jax.vmap(search)(q)
+
+    # 2. intra-wave brute-force candidates
+    if intra_k > 0:
+        dq = dist_ops.pairwise_distance(q, q, metric)
+        eye = jnp.eye(wave, dtype=bool)
+        own_invalid = ~wave_ok[None, :] | eye
+        dq = jnp.where(own_invalid, _INF, dq)
+        neg, pos = jax.lax.top_k(-dq, intra_k)
+        intra_dists = -neg
+        intra_ids = jnp.where(intra_dists < _INF, s + pos.astype(jnp.int32), SENTINEL)
+        cand_ids = jnp.concatenate([g_ids, intra_ids], axis=1)
+        cand_dists = jnp.concatenate([g_dists, intra_dists], axis=1)
+    else:
+        cand_ids, cand_dists = g_ids, g_dists
+
+    # 3. high-degree-preserving pruning to m0
+    sel_ids, sel_dists = select(cand_ids, cand_dists, degrees)
+    sel_ids = jnp.where(wave_ok[:, None], sel_ids, SENTINEL)
+    sel_dists = jnp.where(wave_ok[:, None], sel_dists, _INF)
+
+    # 4a. forward edges
+    fwd = jnp.full((wave, buffer_width), SENTINEL, dtype=jnp.int32)
+    fwd = fwd.at[:, :m0].set(sel_ids)
+    wave_w = jnp.where(wave_ok, wave_ids, n)
+    neighbors = neighbors.at[wave_w].set(fwd, mode="drop")
+    degrees = degrees.at[wave_w].set(
+        jnp.sum((sel_ids != SENTINEL).astype(jnp.int32), axis=1), mode="drop"
+    )
+
+    # 4b. reverse edges
+    src = jnp.broadcast_to(wave_ids[:, None], (wave, m0))
+    edge_valid = (sel_ids != SENTINEL) & wave_ok[:, None]
+    neighbors, degrees = _scatter_reverse_edges(
+        neighbors, degrees, sel_ids, sel_dists, src, edge_valid
+    )
+
+    # 5. repair: all wave nodes (dedup mutual intra-wave edges + prune),
+    # then up to `wave` previously-inserted nodes now over m0. Nodes
+    # missed by the cap stay over-degree in the slack and are picked up
+    # next wave or by the final sweep.
+    neighbors, degrees = _repair_rows(
+        neighbors, degrees, wave_w, x_prepped, m0, metric
+    )
+    over = jnp.where(degrees > m0, size=wave, fill_value=n)[0].astype(jnp.int32)
+    neighbors, degrees = _repair_rows(
+        neighbors, degrees, over, x_prepped, m0, metric
+    )
+    return neighbors, degrees
+
+
+def _make_wave_step(
+    x_prepped: Array,
+    levels_dev,
+    config: LeannConfig,
+    n: int,
+    wave: int,
+    buffer_width: int,
+    max_iters: int,
+):
+    """Jitted per-wave insertion step closed over the corpus (one compilation
+    per wave size, executed n/wave times)."""
+    body = functools.partial(
+        wave_body,
+        config=config,
+        n=n,
+        wave=wave,
+        buffer_width=buffer_width,
+        max_iters=max_iters,
+    )
+
+    @jax.jit
+    def wave_step(neighbors: Array, degrees: Array, s: Array, entry: Array):
+        return body(neighbors, degrees, s, entry, x_prepped)
+
+    return wave_step
+
+
+def build_index(
+    x: Array,
+    config: LeannConfig | None = None,
+    levels: np.ndarray | None = None,
+) -> CsrGraph:
+    """Build a LEANN proximity graph from embeddings [N, d].
+
+    Returns a CsrGraph with max_degree == config.m0. The embeddings are used
+    only during construction (LEANN's storage contract).
+    """
+    config = config or LeannConfig()
+    config.validate()
+    n = int(x.shape[0])
+    if n == 0:
+        return CsrGraph.empty(0, config.m0)
+
+    if levels is None:
+        levels = sample_levels(n, config.ml, config.max_layers, config.seed)
+    levels = np.asarray(levels, dtype=np.int32)
+    entries = _prefix_entries(levels)
+
+    x_prepped = dist_ops.prep_corpus(x, config.metric)
+    m0 = config.m0
+    buffer_width = m0 + config.reverse_slack
+
+    neighbors = jnp.full((n, buffer_width), SENTINEL, dtype=jnp.int32)
+    degrees = jnp.zeros((n,), dtype=jnp.int32)
+
+    # --- wave 0: brute-force kNN init over a small seed set ---
+    w0 = min(n, max(2 * m0, 128))
+    k0 = min(m0, w0 - 1)
+    if k0 > 0:
+        d0 = dist_ops.pairwise_distance(x_prepped[:w0], x_prepped[:w0], config.metric)
+        d0 = jnp.where(jnp.eye(w0, dtype=bool), _INF, d0)
+        _, nbr0 = jax.lax.top_k(-d0, k0)
+        neighbors = neighbors.at[:w0, :k0].set(nbr0.astype(jnp.int32))
+        degrees = degrees.at[:w0].set(k0)
+
+    # --- subsequent waves: doubling schedule ---
+    # Wave size is capped at half the already-inserted prefix so no wave is a
+    # large fraction of the graph it searches (big waves early hurt recall —
+    # the wave's nodes can't see each other through the graph), and rounded to
+    # powers of two so only O(log) distinct shapes compile. Pad the corpus by
+    # one wave so the last partial wave's dynamic_slice never clamps (clamping
+    # would misalign queries with their wave ids).
+    if w0 < n:
+        max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
+        max_wave = min(config.wave_size, n)
+        x_padded = jnp.pad(x_prepped, ((0, max_wave), (0, 0)))
+        step_cache: dict[int, object] = {}
+        s = w0
+        while s < n:
+            wave = min(max_wave, 1 << max(6, (s // 2).bit_length() - 1))
+            if wave not in step_cache:
+                step_cache[wave] = _make_wave_step(
+                    x_padded, None, config, n, wave, buffer_width, max_iters
+                )
+            entry = jnp.int32(entries[s])
+            neighbors, degrees = step_cache[wave](
+                neighbors, degrees, jnp.int32(s), entry
+            )
+            s += wave
+
+    # --- final sweep: repair any node still over m0, crop slack ---
+    neighbors, degrees = _final_sweep(
+        neighbors, degrees, x_prepped, m0, config.metric
+    )
+    neighbors = neighbors[:, :m0]
+
+    max_level = int(levels.max())
+    entry = int(np.argmax(levels == max_level))
+    return CsrGraph(
+        neighbors=neighbors,
+        degrees=degrees,
+        levels=jnp.asarray(levels),
+        entry_point=jnp.int32(entry),
+        max_level=jnp.int32(max_level),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m0", "metric"))
+def _final_sweep(neighbors, degrees, x_prepped, m0, metric):
+    n = neighbors.shape[0]
+    chunk = min(4096, n)
+    num_chunks = -(-n // chunk)
+
+    def body(i, state):
+        nbrs, degs = state
+        ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        ids = jnp.where(ids < n, ids, n)
+        # Only rows over m0 need work, but repairing a clean row is a no-op
+        # (it re-sorts to the same nearest-m0 set); repair the whole chunk.
+        needs = degs[jnp.clip(ids, 0, n - 1)] > m0
+        ids = jnp.where(needs & (ids < n), ids, n)
+        return _repair_rows(nbrs, degs, ids, x_prepped, m0, metric)
+
+    return jax.lax.fori_loop(0, num_chunks, body, (neighbors, degrees))

@@ -110,6 +110,30 @@ def rowwise_distance(
     raise ValueError(f"unknown metric: {metric}")
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def rows_distance(q: Array, rows: Array, metric: DistanceMetric) -> Array:
+    """Per-row distances: q [R, d] vs rows [R, B, d] -> [R, B].
+
+    Used by the construction repair pass (each overflowing node scores its own
+    neighbor list). Inputs must be prepped (prep_query/prep_corpus).
+    """
+    q = q.astype(jnp.float32)
+    rows = rows.astype(jnp.float32)
+    if metric in (DistanceMetric.COSINE, DistanceMetric.DOT_PRODUCT):
+        sim = jnp.einsum(
+            "rbd,rd->rb", rows, q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 1.0 - sim if metric == DistanceMetric.COSINE else -sim
+    if metric == DistanceMetric.EUCLIDEAN:
+        diff = rows - q[:, None, :]
+        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    if metric == DistanceMetric.MANHATTAN:
+        return jnp.sum(jnp.abs(rows - q[:, None, :]), axis=-1)
+    raise ValueError(f"unknown metric: {metric}")
+
+
 def prep_query(q: Array, metric: DistanceMetric) -> Array:
     """Preprocess queries so `rowwise_distance` is a pure matvec.
 

@@ -1,0 +1,31 @@
+"""Device mesh helpers.
+
+The reference is a single-process tokio app with no distributed compute
+(SURVEY.md §2.7); multi-chip scale here is native jax.sharding — shard-by-id
+partitioning of the corpus over a mesh axis ("shards") with an optional
+data-parallel axis over queries ("dp"). Collectives ride ICI via shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_shards: int | None = None,
+    n_dp: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Create a (shards, dp) mesh. Defaults to all devices on the shard axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_shards is None:
+        n_shards = len(devices) // n_dp
+    used = n_shards * n_dp
+    if used > len(devices):
+        raise ValueError(
+            f"mesh needs {used} devices, only {len(devices)} available"
+        )
+    dev_array = np.asarray(devices[:used]).reshape(n_shards, n_dp)
+    return Mesh(dev_array, axis_names=("shards", "dp"))

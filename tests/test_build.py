@@ -1,0 +1,132 @@
+"""Graph-construction tests.
+
+Correctness criteria (SURVEY.md §7): structural invariants of the built graph
+plus recall parity vs brute force — wave-batched insertion is not structurally
+identical to the reference's sequential build, so recall is the oracle.
+"""
+
+import numpy as np
+import pytest
+
+from islands_tpu.core.build import build_index, sample_levels, _prefix_entries
+from islands_tpu.core.config import DistanceMetric, LeannConfig
+from islands_tpu.core.search import StoredSearcher
+from islands_tpu.ops import distance as D
+
+from conftest import make_vectors
+
+
+def small_config(**kw):
+    base = dict(
+        m=8, m0=16, ef_construction=48, ef_search=48,
+        wave_size=128, intra_wave_k=8, reverse_slack=16,
+    )
+    base.update(kw)
+    return LeannConfig(**base)
+
+
+def graph_invariants(graph, n, m0):
+    nbrs = np.asarray(graph.neighbors)
+    degs = np.asarray(graph.degrees)
+    assert nbrs.shape == (n, m0)
+    assert np.all(degs <= m0)
+    for i in range(n):
+        row = nbrs[i, : degs[i]]
+        # valid ids, no sentinel in the live prefix, sentinel after
+        assert np.all((row >= 0) & (row < n)), i
+        assert np.all(nbrs[i, degs[i]:] == -1), i
+        # no self edges, no duplicates
+        assert i not in row, i
+        assert len(set(row.tolist())) == len(row), i
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.COSINE, DistanceMetric.EUCLIDEAN])
+def test_build_invariants_and_recall(metric):
+    n, dim = 600, 32
+    x = make_vectors(n, dim, seed=20)
+    q = make_vectors(16, dim, seed=21)
+    cfg = small_config(metric=metric)
+    graph = build_index(x, cfg)
+    graph_invariants(graph, n, cfg.m0)
+
+    searcher = StoredSearcher(graph, x, metric)
+    _, ids = searcher.search(q, k=10, ef=64)
+    _, tids = D.brute_force_topk(q, x, 10, metric)
+    ids, tids = np.asarray(ids), np.asarray(tids)
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(tids[i].tolist())) / 10 for i in range(len(q))
+    ])
+    # Reference CI floor is 35% @k=1 (hnsw.rs:848-853); we demand far more.
+    assert recall >= 0.85, recall
+
+
+def test_build_connectivity():
+    """Every node reachable from the entry point (spec
+    test_pruning_preserves_connectivity, docs/leann-specification.md:852-864)."""
+    n = 400
+    x = make_vectors(n, 16, seed=22)
+    graph = build_index(x, small_config())
+    nbrs = np.asarray(graph.neighbors)
+    degs = np.asarray(graph.degrees)
+    seen = {int(graph.entry_point)}
+    stack = [int(graph.entry_point)]
+    while stack:
+        u = stack.pop()
+        for v in nbrs[u, : degs[u]]:
+            v = int(v)
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    assert len(seen) >= 0.99 * n, len(seen)
+
+
+def test_build_small_and_edge_sizes():
+    for n in [1, 2, 5, 17]:
+        x = make_vectors(n, 8, seed=23 + n)
+        cfg = small_config(wave_size=8)
+        graph = build_index(x, cfg)
+        graph_invariants(graph, n, cfg.m0)
+        if n > 1:
+            assert int(np.asarray(graph.degrees).min()) >= 1
+
+
+def test_build_empty():
+    graph = build_index(np.zeros((0, 8), np.float32), small_config())
+    assert graph.num_nodes == 0
+
+
+def test_levels_and_entry():
+    levels = sample_levels(10000, 1.0 / np.log(30.0), 16, seed=1)
+    assert levels.min() >= 0 and levels.max() < 16
+    # Geometric-ish: P(level >= 1) = 1/30
+    frac = float((levels >= 1).mean())
+    assert 0.01 < frac < 0.06, frac
+    entries = _prefix_entries(levels)
+    max_l, best = -1, 0
+    for i in range(len(levels)):
+        assert entries[i] == best
+        if levels[i] > max_l:
+            max_l, best = levels[i], i
+
+
+def test_high_degree_pruning_creates_hub_skew():
+    """Hub preservation should skew in-degree: with it on, top-2% in-degree
+    mass should be at least as concentrated as with it off (paper Section 5
+    rationale; reference leann.rs:751-833)."""
+    n = 500
+    x = make_vectors(n, 24, seed=29)
+    g_on = build_index(x, small_config(high_degree_pruning=True))
+    g_off = build_index(x, small_config(high_degree_pruning=False))
+    for g in (g_on, g_off):
+        graph_invariants(g, n, 16)
+
+    def top2_share(g):
+        nbrs, degs = np.asarray(g.neighbors), np.asarray(g.degrees)
+        indeg = np.zeros(n)
+        for i in range(n):
+            for v in nbrs[i, : degs[i]]:
+                indeg[v] += 1
+        top = np.sort(indeg)[::-1][: max(1, n // 50)]
+        return top.sum() / max(indeg.sum(), 1)
+
+    assert top2_share(g_on) >= 0.8 * top2_share(g_off)
