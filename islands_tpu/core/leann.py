@@ -1,0 +1,271 @@
+"""LEANN index: graph-only storage + recompute search + two-level PQ gating.
+
+The facade mirroring the reference's `LeannIndex` (src/core/leann.rs:463-1066):
+build a proximity graph from an embedding provider, drop the embeddings, and
+answer queries by recomputing embeddings on the fly during best-first search.
+Adds the two-level PQ-gated search the reference only specifies
+(docs/leann-specification.md:223-271; its Rust core never wires PQ into
+search, see SURVEY.md §2.1 "critical wiring fact").
+
+TPU-native shape: construction is the wave-batched device pipeline
+(core/build.py), search the fixed-width batched beam (core/search.py), and
+the provider a jittable id->embedding function fused into the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islands_tpu.core import build as build_mod
+from islands_tpu.core.config import (
+    DistanceMetric,
+    LeannConfig,
+    PQConfig,
+    PruningStrategy,
+)
+from islands_tpu.core.csr import SENTINEL, CsrGraph
+from islands_tpu.core.embedding import (
+    EmbeddingProvider,
+    InMemoryEmbeddingProvider,
+    materialize_embeddings,
+)
+from islands_tpu.core.pq import ProductQuantizer, make_gated_scorer
+from islands_tpu.core.search import (
+    _search_one,
+    _search_one_two_level,
+    make_prune_fn,
+    make_recompute_scorer,
+)
+from islands_tpu.ops import distance as dist_ops
+
+Array = jax.Array
+
+
+class IndexNotBuilt(RuntimeError):
+    """Search before build (reference: CoreError::IndexNotBuilt)."""
+
+
+class DimensionMismatch(ValueError):
+    """Query/provider dimension mismatch (reference: CoreError::DimensionMismatch)."""
+
+
+class LeannIndex:
+    """Graph-only ANN index with on-the-fly embedding recomputation.
+
+    Storage contract (leann.rs:54-57): after `build`, only the CSR graph (and
+    optional PQ codes) persist — O(n*M) int32 edges, no [n, d] float matrix.
+    """
+
+    def __init__(self, config: LeannConfig | None = None):
+        self.config = config or LeannConfig()
+        self.config.validate()
+        self.graph: CsrGraph | None = None
+        self.dimension: int | None = None
+        self.pq: ProductQuantizer | None = None
+        self.pq_codes: Array | None = None
+        self._search_cache: dict = {}
+        self.last_recompute_fraction: float | None = None
+
+    # -- introspection (reference: leann.rs:836-856) -----------------------
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes if self.graph is not None else 0
+
+    @property
+    def is_empty(self) -> bool:
+        return self.num_nodes == 0
+
+    def storage_bytes(self) -> int:
+        """Graph (+ PQ) bytes — the 'index bytes/vector' metric
+        (reference: leann.rs:295-301 + pq codes)."""
+        total = self.graph.storage_bytes() if self.graph is not None else 0
+        if self.pq is not None and self.pq_codes is not None:
+            total += self.pq.storage_bytes(self.num_nodes)
+        return total
+
+    # -- build (reference: leann.rs:560-631) -------------------------------
+
+    def build(
+        self,
+        provider: EmbeddingProvider,
+        num_vectors: int | None = None,
+        with_pq: PQConfig | None = None,
+    ) -> "LeannIndex":
+        """Build the graph from `provider`'s first `num_vectors` embeddings.
+
+        Embeddings are materialized only for the duration of construction
+        (and PQ training when `with_pq` is given), then dropped.
+        """
+        n = num_vectors if num_vectors is not None else provider.num_items
+        self.dimension = provider.dimension
+        if n == 0:
+            self.graph = CsrGraph.empty(0, self.config.m0)
+            return self
+        x = materialize_embeddings(provider, n)
+        self.graph = build_mod.build_index(x, self.config)
+        if with_pq is not None:
+            self._train_pq(x, with_pq)
+        del x
+        self._search_cache.clear()
+        return self
+
+    def build_from_embeddings(
+        self, x, with_pq: PQConfig | None = None
+    ) -> "LeannIndex":
+        """Convenience: build from an [n, d] array (wraps it in an in-memory
+        provider for the temp-embedding pass)."""
+        x = jnp.asarray(x, dtype=jnp.float32)
+        self.dimension = int(x.shape[1]) if x.ndim == 2 else None
+        self.graph = build_mod.build_index(x, self.config)
+        if with_pq is not None:
+            self._train_pq(x, with_pq)
+        self._search_cache.clear()
+        return self
+
+    def _train_pq(self, x: Array, pq_config: PQConfig) -> None:
+        """Train PQ + encode all vectors. For COSINE, trains on normalized
+        vectors so ADC inner-product tables approximate cosine distance."""
+        xt = dist_ops.prep_corpus(x, self.config.metric)
+        self.pq = ProductQuantizer(pq_config)
+        self.pq.train(xt)
+        self.pq_codes = self.pq.encode(xt)
+
+    # -- search: pure recompute (reference: leann.rs:858-988) --------------
+
+    def search(
+        self,
+        queries,
+        k: int,
+        provider: EmbeddingProvider,
+        ef: int | None = None,
+        expand_width: int | None = None,
+        max_iters: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched recompute search: queries [B, d] (or [d]) ->
+        (dists [B, k], ids [B, k]) ascending; unfilled slots (inf, -1).
+
+        Algorithm 1 + the configured pruning strategy (prune_ratio > 0
+        reduces how many neighbor embeddings are recomputed per hop).
+        """
+        graph = self._require_graph()
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        self._check_dim(q.shape[1])
+        if self.is_empty:
+            out = (np.zeros((q.shape[0], 0), np.float32), np.zeros((q.shape[0], 0), np.int32))
+            return (out[0][0], out[1][0]) if single else out
+        ef = max(ef if ef is not None else self.config.ef_search, k)
+        expand_width = expand_width or self.config.expand_width
+        if max_iters is None:
+            max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
+
+        key = ("recompute", id(provider), ef, expand_width, max_iters)
+        if key not in self._search_cache:
+            scorer = make_recompute_scorer(provider.batch_fn(), self.config.metric)
+            prune = make_prune_fn(
+                self.config.pruning_strategy,
+                self.config.prune_ratio,
+                ef,
+                graph.degrees,
+                seed=self.config.seed,
+            )
+            search = functools.partial(
+                _search_one,
+                neighbors=graph.neighbors,
+                entry_point=graph.entry_point,
+                scorer=scorer,
+                ef=ef,
+                expand_width=expand_width,
+                max_iters=max_iters,
+                prune_fn=prune,
+            )
+            self._search_cache[key] = jax.jit(jax.vmap(search))
+        qp = dist_ops.prep_query(q, self.config.metric)
+        dists, ids = self._search_cache[key](qp)
+        dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
+        return (dists[0], ids[0]) if single else (dists, ids)
+
+    # -- search: two-level PQ-gated (spec Algorithm 2) ---------------------
+
+    def search_two_level(
+        self,
+        queries,
+        k: int,
+        provider: EmbeddingProvider,
+        ef: int | None = None,
+        rerank_ratio: float = 0.1,
+        expand_width: int | None = None,
+        aq_width: int | None = None,
+        promote_width: int | None = None,
+        max_iters: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Two-level search: PQ-ADC approximate queue gates which candidates
+        get exact (recomputed) scoring (docs/leann-specification.md:223-271).
+        Requires `build(..., with_pq=...)`. Sets `last_recompute_fraction` to
+        exact-scored / num_nodes (the metric the reference dead-codes at
+        leann.rs:974-981)."""
+        graph = self._require_graph()
+        if self.pq is None or self.pq_codes is None:
+            raise IndexNotBuilt("two-level search requires PQ (build with with_pq=)")
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        self._check_dim(q.shape[1])
+        ef = max(ef if ef is not None else self.config.ef_search, k)
+        expand_width = expand_width or self.config.expand_width
+        em = expand_width * graph.max_degree
+        if aq_width is None:
+            aq_width = max(ef, 64)
+        if promote_width is None:
+            promote_width = max(1, round(rerank_ratio * aq_width))
+        promote_width = min(promote_width, em)
+        if max_iters is None:
+            max_iters = 8 * max(ef // max(promote_width, 1), 1) + 32
+
+        key = ("two_level", id(provider), ef, expand_width, aq_width, promote_width, max_iters)
+        if key not in self._search_cache:
+            exact = make_recompute_scorer(provider.batch_fn(), self.config.metric)
+            prep, approx = make_gated_scorer(self.pq, self.pq_codes, self.config.metric)
+            search = functools.partial(
+                _search_one_two_level,
+                neighbors=graph.neighbors,
+                entry_point=graph.entry_point,
+                exact_scorer=exact,
+                approx_scorer=approx,
+                ef=ef,
+                aq_width=aq_width,
+                promote_width=promote_width,
+                expand_width=expand_width,
+                max_iters=max_iters,
+            )
+
+            def batched(qp):
+                tables = jax.vmap(prep)(qp)
+                return jax.vmap(search)(qp, tables)
+
+            self._search_cache[key] = jax.jit(batched)
+        qp = dist_ops.prep_query(q, self.config.metric)
+        dists, ids, n_exact = self._search_cache[key](qp)
+        self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
+        dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
+        return (dists[0], ids[0]) if single else (dists, ids)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _require_graph(self) -> CsrGraph:
+        if self.graph is None:
+            raise IndexNotBuilt("index is not built")
+        return self.graph
+
+    def _check_dim(self, d: int) -> None:
+        if self.dimension is not None and d != self.dimension:
+            raise DimensionMismatch(f"expected dimension {self.dimension}, got {d}")

@@ -362,3 +362,68 @@ def make_pq_scorer(pq: ProductQuantizer, codes: Array):
         return jnp.where(valid, d, jnp.inf)
 
     return prep, scorer
+
+
+# ---------------------------------------------------------------------------
+# Metric-scale ADC for the two-level (PQ-gated) search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric_name",))
+def _build_metric_tables(q: Array, centroids: Array, metric_name: str) -> Array:
+    """ADC tables whose gather+sum (+finalize) approximates the *search
+    metric*, so approximate and exact distances are on the same scale and the
+    two-level loop can compare across queues (spec Algorithm 2 uses
+    pq_distance and exact_dist interchangeably in queue logic).
+
+    - cosine / dotproduct: tables = -<q_s, c_{s,k}>  (sum = -q.recon)
+    - euclidean:           tables = |q_s - c_{s,k}|^2 (reference pq.rs:307-338)
+    - manhattan:           tables = |q_s - c_{s,k}|_1
+    """
+    qs = _split_subspaces(q, centroids.shape[0])  # [S, B, sd]
+    if metric_name in ("cosine", "dotproduct"):
+        t = -jax.vmap(
+            lambda a, c: jnp.dot(a, c.T, preferred_element_type=jnp.float32)
+        )(qs, centroids)
+    elif metric_name == "euclidean":
+        t = jax.vmap(_sq_dists)(qs, centroids)
+    else:  # manhattan
+        t = jax.vmap(
+            lambda a, c: jnp.sum(jnp.abs(a[:, None, :] - c[None, :, :]), axis=-1)
+        )(qs, centroids)
+    return t.transpose(1, 0, 2)  # [B, S, k]
+
+
+def make_gated_scorer(pq: ProductQuantizer, codes: Array, metric):
+    """Approximate scorer for the two-level search whose outputs live on the
+    same scale as the exact metric (cosine distance ~ 1 - q.recon, etc.).
+    For COSINE the quantizer must have been trained on L2-normalized vectors.
+
+    Returns (prep_fn, scorer): `prep_fn(q_prepped [d]) -> tables [S, k]`,
+    `scorer(tables, ids, valid) -> dists [E]`.
+    """
+    cb = pq._require_trained()
+    centroids = cb.centroids
+    codes = jnp.asarray(codes)
+    n = codes.shape[0]
+    mname = getattr(metric, "value", str(metric))
+
+    def prep(q: Array) -> Array:
+        return _build_metric_tables(jnp.atleast_2d(q), centroids, mname)[0]
+
+    # gather: out[e] = finalize(sum_s tables[s, rows[e, s]])
+    def scorer(tables: Array, ids: Array, valid: Array) -> Array:
+        rows = codes[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)  # [E, S]
+        g = jnp.take_along_axis(tables[None, :, :], rows[:, :, None], axis=2)[..., 0]
+        s = jnp.sum(g, axis=-1)  # [E]
+        if mname == "cosine":
+            d = 1.0 + s
+        elif mname == "dotproduct":
+            d = s
+        elif mname == "euclidean":
+            d = jnp.sqrt(jnp.maximum(s, 0.0))
+        else:
+            d = s
+        return jnp.where(valid, d, jnp.inf)
+
+    return prep, scorer

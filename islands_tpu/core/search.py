@@ -53,6 +53,81 @@ def make_stored_scorer(x_prepped: Array, metric: DistanceMetric) -> Scorer:
     return scorer
 
 
+def make_recompute_scorer(batch_fn, metric: DistanceMetric) -> Scorer:
+    """Exact scorer that RECOMPUTES embeddings on the fly via a jittable
+    provider function (`EmbeddingProvider.batch_fn()`) — LEANN's core trick
+    (reference: provider.compute_embeddings_batch inside the hop,
+    leann.rs:946-948). The recompute fuses into the search loop: no host
+    round-trip per hop."""
+
+    def scorer(q: Array, ids: Array, valid: Array) -> Array:
+        rows = batch_fn(jnp.where(valid, ids, 0).astype(jnp.int32))
+        rows = dist_ops.prep_corpus(rows, metric)
+        d = dist_ops.rowwise_distance(q, rows, metric)
+        return jnp.where(valid, d, _INF)
+
+    return scorer
+
+
+def make_prune_fn(
+    strategy,
+    prune_ratio: float,
+    ef: int,
+    degrees: Array,
+    seed: int = 0,
+):
+    """Candidate-pruning mask applied to unvisited neighbors before exact
+    scoring (reference: apply_pruning_strategy, leann.rs:991-1056). Returns
+    None when prune_ratio == 0 (score everything, leann.rs:999-1001).
+
+    `prune(ids, keep, pool_count, it) -> keep`:
+    - GLOBAL: keep ceil(E*(1 - |R|/ef * prune_ratio)) — prunes harder as the
+      result pool fills (leann.rs:1009-1015).
+    - LOCAL: keep ceil(E*(1 - prune_ratio)) in candidate order
+      (leann.rs:1016-1019).
+    - PROPORTIONAL: degree-weighted random accept with expected count
+      num_to_keep; falls back to the first candidate if none accepted
+      (leann.rs:1020-1055).
+    Pruned neighbors remain marked visited, matching the reference's
+    visited.insert-at-filter-time (leann.rs:933-937).
+    """
+    from islands_tpu.core.config import PruningStrategy
+
+    if prune_ratio <= 0.0:
+        return None
+    n = degrees.shape[0]
+    base_key = jax.random.PRNGKey(seed)
+
+    def prune(ids: Array, keep: Array, pool_count: Array, it: Array) -> Array:
+        e_valid = jnp.sum(keep.astype(jnp.int32))
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1  # rank among kept
+        num_to_keep = jnp.maximum(
+            jnp.ceil(e_valid.astype(jnp.float32) * (1.0 - prune_ratio)).astype(jnp.int32),
+            1,
+        )
+        if strategy == PruningStrategy.GLOBAL:
+            ratio = pool_count.astype(jnp.float32) / float(ef)
+            adj = jnp.ceil(
+                e_valid.astype(jnp.float32) * (1.0 - ratio * prune_ratio)
+            ).astype(jnp.int32)
+            return keep & (pos < jnp.maximum(adj, 1))
+        if strategy == PruningStrategy.LOCAL:
+            return keep & (pos < num_to_keep)
+        # PROPORTIONAL
+        deg = jnp.where(keep, degrees[jnp.clip(ids, 0, n - 1)], 0)
+        total = jnp.maximum(jnp.sum(deg), 1)
+        prob = deg.astype(jnp.float32) / total.astype(jnp.float32)
+        u = jax.random.uniform(jax.random.fold_in(base_key, it), keep.shape)
+        accept = keep & (u < prob * num_to_keep.astype(jnp.float32))
+        acc_pos = jnp.cumsum(accept.astype(jnp.int32)) - 1
+        accept = accept & (acc_pos < num_to_keep)
+        any_acc = jnp.any(accept)
+        first_valid = keep & (pos == 0)
+        return jnp.where(any_acc, accept, first_valid)
+
+    return prune
+
+
 def _dedup_sorted(ids: Array, num_nodes: int) -> tuple[Array, Array]:
     """Sort ids ascending and mask duplicates / sentinels.
 
@@ -72,8 +147,13 @@ def _search_one(
     ef: int,
     expand_width: int,
     max_iters: int,
+    prune_fn=None,
 ) -> tuple[Array, Array]:
-    """Single-query best-first search; vmap over queries for the batch."""
+    """Single-query best-first search; vmap over queries for the batch.
+
+    `prune_fn` (optional) masks which unvisited neighbors get scored —
+    the recompute-saving strategies of leann.rs:991-1056; pruned neighbors
+    still count as visited."""
     n, m = neighbors.shape
     em = expand_width * m
 
@@ -115,6 +195,10 @@ def _search_one(
         # Mark visited whether or not scored (reference: leann.rs:933-937).
         visited = visited.at[jnp.where(keep, sorted_ids, n)].set(True)
 
+        if prune_fn is not None:
+            pool_count = jnp.sum((pool_dists < _INF).astype(jnp.int32))
+            keep = prune_fn(sorted_ids, keep, pool_count, it)
+
         # --- score ---
         new_dists = scorer(q, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
@@ -129,6 +213,118 @@ def _search_one(
     state = (pool_dists, pool_expanded, pool_ids, visited, jnp.int32(0))
     pool_dists, _, pool_ids, _, _ = jax.lax.while_loop(cond, body, state)
     return pool_dists, pool_ids
+
+
+def _search_one_two_level(
+    q_exact: Array,
+    q_tables: Array,
+    neighbors: Array,
+    entry_point: Array,
+    exact_scorer: Scorer,
+    approx_scorer: Scorer,
+    ef: int,
+    aq_width: int,
+    promote_width: int,
+    expand_width: int,
+    max_iters: int,
+) -> tuple[Array, Array, Array]:
+    """Two-level PQ-gated search (spec Algorithm 2,
+    docs/leann-specification.md:223-271) for a single query.
+
+    Neighbors discovered each hop are scored with the cheap approximate
+    scorer (PQ-ADC table gather) into a persistent fixed-width Approximate
+    Queue; only the best `promote_width` AQ entries per hop are promoted to
+    exact scoring (embedding recompute) and merged into the exact pool.
+
+    Returns (pool_dists [ef], pool_ids [ef], n_exact_scored scalar) — the
+    last is the recompute-efficiency metric the reference only dead-codes
+    (leann.rs:974-981).
+    """
+    n, m = neighbors.shape
+    em = expand_width * m
+
+    entry = jnp.maximum(entry_point, 0)
+    d_entry = exact_scorer(q_exact, entry[None], jnp.ones((1,), dtype=bool))[0]
+
+    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
+    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
+    aq_ids = jnp.full((aq_width,), SENTINEL, dtype=jnp.int32)
+    aq_dists = jnp.full((aq_width,), _INF)
+    visited = jnp.zeros((n + 1,), dtype=bool).at[entry].set(True)
+    n_exact = jnp.int32(1)
+
+    def cond(state):
+        pool_dists, pool_expanded, _, aq_dists, *_, it = state
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        best_unexp = jnp.min(unexp)
+        worst = pool_dists[-1]
+        # Keep going while there is work in either queue: an unexpanded exact
+        # candidate better than the worst pooled, or promotable AQ entries
+        # better than the worst pooled (the AQ is this formulation's "C").
+        exact_work = (best_unexp < _INF) & (best_unexp <= worst)
+        # AQ distances are on the exact metric's scale (see pq.make_gated_scorer),
+        # so "could the best approximate candidate improve the pool" is a valid
+        # cross-queue comparison.
+        aq_work = aq_dists[0] <= worst
+        return (exact_work | aq_work) & (it < max_iters)
+
+    def body(state):
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, visited, n_exact, it = state
+
+        # --- Phase 1: expand best unexpanded exact entries, approx-score ---
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
+        sel_valid = -neg_best < _INF
+        pool_expanded = pool_expanded.at[sel_pos].set(True)
+        sel_ids = pool_ids[sel_pos]
+
+        rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
+        nbr_ids = rows.reshape(em)
+        nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
+        nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
+        sorted_ids, keep = _dedup_sorted(nbr_ids, n)
+        keep = keep & ~visited[sorted_ids]
+        visited = visited.at[jnp.where(keep, sorted_ids, n)].set(True)
+
+        d_approx = approx_scorer(q_tables, sorted_ids, keep)
+        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+
+        # --- merge into the approximate queue ---
+        aq_d = jnp.concatenate([aq_dists, d_approx])
+        aq_i = jnp.concatenate([aq_ids, new_ids])
+        aq_d, aq_i = jax.lax.sort((aq_d, aq_i), num_keys=1)
+
+        # --- Phase 2: promote best promote_width AQ entries to exact ---
+        prom_ids = aq_i[:promote_width]
+        prom_valid = aq_d[:promote_width] < _INF
+        aq_dists = aq_d[promote_width : promote_width + aq_width]
+        aq_ids = aq_i[promote_width : promote_width + aq_width]
+
+        d_exact = exact_scorer(q_exact, jnp.where(prom_valid, prom_ids, 0), prom_valid)
+        n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
+
+        all_d = jnp.concatenate([pool_dists, d_exact])
+        all_i = jnp.concatenate([pool_ids, jnp.where(prom_valid, prom_ids, SENTINEL)])
+        all_e = jnp.concatenate([pool_expanded, ~prom_valid])
+        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+        return (
+            all_d[:ef],
+            all_e[:ef],
+            all_i[:ef],
+            aq_dists,
+            aq_ids,
+            visited,
+            n_exact,
+            it + 1,
+        )
+
+    state = (
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, visited, n_exact,
+        jnp.int32(0),
+    )
+    pool_dists, _, pool_ids, _, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_ids, n_exact
 
 
 @functools.partial(
