@@ -133,6 +133,69 @@ class LeannConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class HnswConfig:
+    """Multi-layer HNSW configuration (reference: src/core/hnsw.rs:14-69).
+
+    Defaults match the reference: m=16, m0=32, ef_construction=200,
+    ml=1/ln(16), max_layers=16. TPU knobs as in LeannConfig.
+    """
+
+    m: int = 16
+    m0: int = 32
+    ef_construction: int = 200
+    ml: float = 1.0 / math.log(16.0)
+    max_layers: int = 16
+    metric: DistanceMetric = DistanceMetric.COSINE
+    # --- TPU build pipeline knobs ---
+    wave_size: int = 1024
+    expand_width: int = 4
+    reverse_slack: int = 32
+    intra_wave_k: int = 16
+    seed: int = 0
+
+    @staticmethod
+    def fast() -> "HnswConfig":
+        """Speed preset (reference: hnsw.rs:50-58)."""
+        return HnswConfig(m=8, m0=16, ef_construction=100,
+                          ml=1.0 / math.log(8.0), reverse_slack=16, intra_wave_k=8)
+
+    @staticmethod
+    def accurate() -> "HnswConfig":
+        """Accuracy preset (reference: hnsw.rs:61-69)."""
+        return HnswConfig(m=32, m0=64, ef_construction=400,
+                          ml=1.0 / math.log(32.0), reverse_slack=64, intra_wave_k=32)
+
+    def validate(self) -> None:
+        if self.m <= 0:
+            raise ConfigError("m must be > 0")
+        if self.m0 < self.m:
+            raise ConfigError("m0 must be >= m")
+        if self.ef_construction < self.m:
+            raise ConfigError("ef_construction must be >= m")
+        if self.max_layers <= 0:
+            raise ConfigError("max_layers must be > 0")
+
+    def to_leann(self, layer: int) -> "LeannConfig":
+        """Per-layer construction params: layer 0 uses m0, upper layers m
+        (reference: hnsw.rs insert uses max_connections(layer))."""
+        m_l = self.m0 if layer == 0 else self.m
+        return LeannConfig(
+            m=max(m_l // 2, 1),
+            m0=m_l,
+            ef_construction=max(self.ef_construction, m_l),
+            ml=self.ml,
+            max_layers=1,
+            metric=self.metric,
+            high_degree_pruning=False,
+            wave_size=self.wave_size,
+            expand_width=self.expand_width,
+            reverse_slack=self.reverse_slack,
+            intra_wave_k=min(self.intra_wave_k, m_l),
+            seed=self.seed + layer,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class PQConfig:
     """Product quantization configuration (reference: src/core/pq.rs:12-65)."""
 
