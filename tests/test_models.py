@@ -1,0 +1,171 @@
+"""Encoder model tests: forward-pass invariants, pooling semantics,
+tokenization buckets, encoder-backed recompute provider end-to-end.
+
+Mirrors the reference's Candle-provider test intents
+(candle_provider.rs tests: presets, dimensions, normalization) without
+network: random-init weights, deterministic tokenizer.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from islands_tpu.core.config import LeannConfig
+from islands_tpu.core.leann import LeannIndex
+from islands_tpu.models import (
+    BertConfig,
+    EncoderConfig,
+    EncoderEmbeddingProvider,
+    HashEmbedder,
+    SimpleTokenizer,
+    TextEncoder,
+)
+from islands_tpu.models.bert import encode as bert_encode, init_params
+
+TEXTS = [
+    "def search_layer(query, entry, ef): pass",
+    "fn insert_node(&mut self, vector: Vec<f32>)",
+    "class IndexerService: handles repository cloning",
+    "SELECT * FROM repositories WHERE indexed = false",
+    "import jax.numpy as jnp",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+@pytest.fixture(scope="module")
+def enc():
+    return TextEncoder.from_preset("tiny-test", seed=0)
+
+
+class TestBertForward:
+    def test_shapes_and_finite(self, enc):
+        ids, mask = enc.tokenize(TEXTS[:3], pad_to=32)
+        out = np.asarray(enc.encode_tokens(ids, mask))
+        assert out.shape == (3, enc.dimension)
+        assert np.all(np.isfinite(out))
+
+    def test_l2_normalized(self, enc):
+        ids, mask = enc.tokenize(TEXTS, pad_to=32)
+        out = np.asarray(enc.encode_tokens(ids, mask))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+    def test_padding_invariance(self, enc):
+        """Mean pooling is mask-weighted: padding length must not change the
+        embedding (reference: candle_provider.rs:434-488)."""
+        ids32, mask32 = enc.tokenize(TEXTS[:2], pad_to=32)
+        ids64, mask64 = enc.tokenize(TEXTS[:2], pad_to=64)
+        a = np.asarray(enc.encode_tokens(ids32, mask32))
+        b = np.asarray(enc.encode_tokens(ids64, mask64))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    def test_determinism(self, enc):
+        ids, mask = enc.tokenize(TEXTS[:2], pad_to=32)
+        a = np.asarray(enc.encode_tokens(ids, mask))
+        b = np.asarray(enc.encode_tokens(ids, mask))
+        np.testing.assert_array_equal(a, b)
+
+    def test_unnormalized_option(self):
+        e = TextEncoder.from_preset(
+            "tiny-test", config=EncoderConfig(normalize=False)
+        )
+        out = e.embed_texts(TEXTS[:3])
+        norms = np.linalg.norm(out, axis=1)
+        assert not np.allclose(norms, 1.0)
+
+
+class TestPresets:
+    def test_preset_dimensions(self):
+        # reference dims: candle_provider.rs:41-117 / provider.rs:260-277
+        from islands_tpu.models import PRESETS
+
+        assert PRESETS["minilm-l6"][1] == 384
+        assert PRESETS["bge-small"][1] == 384
+        assert PRESETS["bge-base"][1] == 768
+        assert PRESETS["bge-large"][1] == 1024
+
+    def test_unknown_preset(self):
+        with pytest.raises(ValueError):
+            TextEncoder.from_preset("nope")
+
+    def test_config_factories(self):
+        assert BertConfig.bge_base().hidden_size == 768
+        assert BertConfig.bge_large().num_hidden_layers == 24
+        assert BertConfig.minilm_l12().num_hidden_layers == 12
+
+
+class TestTokenizer:
+    def test_deterministic_and_bounded(self):
+        tok = SimpleTokenizer(vocab_size=1024)
+        a = tok.encode("Hello, World! fn main() {}", 64)
+        b = tok.encode("Hello, World! fn main() {}", 64)
+        assert a == b
+        assert all(0 <= t < 1024 for t in a)
+        assert a[0] == tok.CLS and a[-1] == tok.SEP
+
+    def test_truncation(self):
+        tok = SimpleTokenizer()
+        long = " ".join(["word"] * 1000)
+        assert len(tok.encode(long, 16)) <= 16
+
+    def test_bucket_selection(self, enc):
+        ids, mask = enc.tokenize(["short text"])
+        assert ids.shape[1] == 32  # smallest bucket
+        ids, _ = enc.tokenize([" ".join(["tok"] * 60)])
+        assert ids.shape[1] in (64, 128)
+
+
+class TestEmbedTexts:
+    def test_batching_and_order(self, enc):
+        """Length-bucketed batching must preserve input order."""
+        texts = [" ".join(["w"] * (3 + 7 * (i % 9))) for i in range(20)]
+        one_by_one = np.stack([enc.embed_text(t) for t in texts])
+        batched = enc.embed_texts(texts)
+        np.testing.assert_allclose(batched, one_by_one, atol=2e-5)
+
+    def test_empty(self, enc):
+        out = enc.embed_texts([])
+        assert out.shape == (0, enc.dimension)
+
+
+class TestHashEmbedder:
+    def test_deterministic_unit_norm(self):
+        he = HashEmbedder(dimension=64)
+        a = he.embed_texts(TEXTS)
+        b = he.embed_texts(TEXTS)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+
+    def test_similar_texts_closer(self):
+        he = HashEmbedder(dimension=256)
+        e = he.embed_texts([
+            "def search query index", "def search query graph", "banana apple pear",
+        ])
+        sim_close = float(e[0] @ e[1])
+        sim_far = float(e[0] @ e[2])
+        assert sim_close > sim_far
+
+
+class TestEncoderProvider:
+    def test_recompute_search_end_to_end(self, enc):
+        """The full LEANN loop with a real (random-init) encoder: build from
+        provider embeddings, search with recompute fused into the hop."""
+        texts = [f"document number {i} about topic {i % 7}" for i in range(60)]
+        prov = EncoderEmbeddingProvider.from_texts(enc, texts, pad_to=32)
+        assert prov.num_items == 60 and prov.dimension == enc.dimension
+
+        # provider output == direct encode
+        direct = enc.embed_texts(texts[:5])
+        via = prov.compute_embeddings_batch(list(range(5)))
+        np.testing.assert_allclose(via, direct, atol=2e-5)
+
+        idx = LeannIndex(LeannConfig(
+            m=6, m0=12, ef_construction=24, wave_size=32,
+            intra_wave_k=6, reverse_slack=6,
+        ))
+        idx.build(prov)
+        q = enc.embed_texts(["document number 3 about topic 3"])
+        d, ids = idx.search(q, k=5, provider=prov, ef=24)
+        assert ids.shape == (1, 5)
+        # exact-match text should be found (recompute distances are exact)
+        assert 3 in ids[0].tolist()
