@@ -1,0 +1,322 @@
+"""Indexer tests: file collection/chunking, repository state, git manager
+over local repos, service lifecycle with persistence-reload, workspaces,
+webhook-driven sync, watcher debounce.
+
+Mirrors the reference's indexer test strategy (src/indexer/service.rs:
+1210-2777): tempdirs, synthetic repos, no network (local git remotes)."""
+
+import json
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from islands_tpu.indexer import (
+    Chunk,
+    IndexNotFound,
+    IndexWatcher,
+    IndexerConfig,
+    IndexerService,
+    IndexingFailed,
+    RepositoryManager,
+    RepositoryState,
+    WorkspaceNotFound,
+    chunk_text,
+    collect_files,
+    extract_repo_path,
+)
+from islands_tpu.providers import Repository, WebhookEvent
+
+
+def make_tree(root: Path, files: dict[str, str]):
+    for rel, content in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+
+
+SAMPLE = {
+    "src/main.py": "def main():\n    print('hello world')\n",
+    "src/search.py": "def search_index(query):\n    return beam_search(query)\n",
+    "lib/util.rs": "fn distance(a: &[f32], b: &[f32]) -> f32 { 0.0 }\n",
+    "README.md": "# Sample\nsemantic code search engine\n",
+    "node_modules/dep.js": "module.exports = {}\n",
+    "target/debug/out.rs": "fn ignored() {}\n",
+    ".hidden/secret.py": "x = 1\n",
+    "image.png": "not text",
+}
+
+
+class TestFileCollection:
+    def test_filters(self, tmp_path):
+        make_tree(tmp_path, SAMPLE)
+        files = dict(collect_files(tmp_path))
+        assert "src/main.py" in files
+        assert "lib/util.rs" in files
+        assert "README.md" in files
+        assert not any("node_modules" in f for f in files)
+        assert not any("target" in f for f in files)
+        assert not any(f.startswith(".hidden") for f in files)
+        assert "image.png" not in files
+
+    def test_deterministic_order(self, tmp_path):
+        make_tree(tmp_path, SAMPLE)
+        a = [f for f, _ in collect_files(tmp_path)]
+        b = [f for f, _ in collect_files(tmp_path)]
+        assert a == b == sorted(a)
+
+
+class TestChunking:
+    def test_small_file_single_chunk(self):
+        chunks = chunk_text("a.py", "line1\nline2\n", 512, 64)
+        assert len(chunks) == 1
+        assert chunks[0].start_line == 1 and chunks[0].end_line == 2
+
+    def test_chunk_size_respected_with_overlap(self):
+        content = "\n".join(f"line number {i:04d}" for i in range(200))
+        chunks = chunk_text("a.py", content, chunk_size=256, chunk_overlap=48)
+        assert len(chunks) > 1
+        for c in chunks:
+            lines = c.text.splitlines()
+            # never split inside a line
+            assert all(ln.startswith("line number") for ln in lines)
+            assert len(c.text) <= 256 + 20
+        # overlap: consecutive chunks share lines
+        assert chunks[1].start_line <= chunks[0].end_line
+        # full coverage
+        assert chunks[0].start_line == 1
+        assert chunks[-1].end_line == 200
+
+    def test_empty_and_whitespace(self):
+        assert chunk_text("a.py", "", 512, 64) == []
+        assert chunk_text("a.py", "  \n \n", 512, 64) == []
+
+    def test_overlong_line(self):
+        content = "x" * 2000
+        chunks = chunk_text("a.py", content, chunk_size=256, chunk_overlap=32)
+        assert len(chunks) == 1  # one line -> one chunk, never split
+
+    def test_round_trip_dict(self):
+        c = Chunk("p.py", 1, 5, "text")
+        assert Chunk.from_dict(c.to_dict()) == c
+
+
+class TestRepositoryState:
+    def test_needs_reindex_transitions(self):
+        st = RepositoryState(full_name="o/r")
+        assert st.needs_reindex()
+        st.mark_synced("abc")
+        st.mark_indexed()
+        assert not st.needs_reindex()
+        st.mark_error("boom")
+        assert st.needs_reindex()
+        st.mark_indexed()
+        assert not st.needs_reindex()
+        # new commit invalidates
+        st.mark_synced("def")
+        assert st.needs_reindex()
+
+    def test_round_trip(self):
+        st = RepositoryState(full_name="o/r", last_commit="abc", indexed=True)
+        assert RepositoryState.from_dict(st.to_dict()) == st
+
+
+def _git(args, cwd):
+    subprocess.run(
+        ["git", *args], cwd=cwd, check=True, capture_output=True,
+        env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": str(cwd)},
+    )
+
+
+@pytest.fixture
+def origin(tmp_path):
+    """A local 'remote' git repository with sample content."""
+    origin = tmp_path / "origin"
+    origin.mkdir()
+    make_tree(origin, {k: v for k, v in SAMPLE.items() if "/" not in k or
+                       k.split("/")[0] not in (".hidden",)})
+    _git(["init", "-b", "main"], origin)
+    _git(["add", "-A"], origin)
+    _git(["commit", "-m", "init"], origin)
+    return origin
+
+
+class TestRepositoryManager:
+    def test_clone_update_remove(self, tmp_path, origin):
+        mgr = RepositoryManager(tmp_path / "repos")
+        repo = Repository.new("local", "owner", "sample", str(origin))
+        sha = mgr.clone_repository(repo)
+        assert len(sha) == 40
+        assert mgr.is_cloned(repo)
+        assert (mgr.repo_path(repo) / "src" / "main.py").exists()
+
+        # no-change update
+        sha2, changed = mgr.update_repository(repo)
+        assert sha2 == sha and not changed
+
+        # new commit upstream -> changed
+        (origin / "new.py").write_text("print('new')\n")
+        _git(["add", "-A"], origin)
+        _git(["commit", "-m", "more"], origin)
+        sha3, changed = mgr.update_repository(repo)
+        assert changed and sha3 != sha
+        assert (mgr.repo_path(repo) / "new.py").exists()
+
+        assert mgr.remove_repository(repo)
+        assert not mgr.is_cloned(repo)
+
+
+@pytest.fixture
+def svc(tmp_path):
+    return IndexerService(IndexerConfig(base_path=str(tmp_path / "islands")))
+
+
+class TestIndexerService:
+    def test_index_and_search(self, svc, tmp_path):
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        info = svc.index_local_path(src, "proj")
+        assert info.num_chunks >= 4
+        assert info.size_bytes > 0
+        hits = svc.search("beam search query function", top_k=5)
+        assert hits
+        assert any("search" in h["path"] for h in hits)
+        for h in hits:
+            assert {"index", "path", "snippet", "score", "start_line"} <= set(h)
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_empty_dir_fails(self, svc, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(IndexingFailed):
+            svc.index_local_path(empty, "empty")
+
+    def test_persistence_reload(self, svc, tmp_path):
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        before = svc.search("distance between vectors", top_k=3)
+
+        # Fresh service over the same base path: metadata present, index
+        # lazily reloaded, search works (fixes the reference's lost-graph gap).
+        svc2 = IndexerService(IndexerConfig(base_path=svc.config.base_path))
+        infos = svc2.list_indexes()
+        assert [i.name for i in infos] == ["proj"]
+        after = svc2.search("distance between vectors", top_k=3)
+        assert [h["path"] for h in after] == [h["path"] for h in before]
+
+    def test_remove_index(self, svc, tmp_path):
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        svc.remove_index("proj")
+        assert svc.list_indexes() == []
+        assert not (Path(svc.config.base_path) / "indexes" / "proj").exists()
+        with pytest.raises(IndexNotFound):
+            svc.get_index("proj")
+
+    def test_status(self, svc, tmp_path):
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        st = svc.status()
+        assert st["num_indexes"] == 1
+        assert st["total_chunks"] > 0
+        assert st["total_size_bytes"] > 0
+
+    def test_add_repository_local_git(self, svc, origin):
+        info = svc.add_repository(str(origin))
+        assert info.num_chunks > 0
+        hits = svc.search("hello world main", top_k=3)
+        assert hits
+
+    def test_full_repo_flow_with_sync_and_webhook(self, svc, origin):
+        repo = Repository.new("local", "owner", "sample", str(origin))
+        svc.manager.clone_repository(repo)
+        svc.index_repository(repo)
+        name = svc.index_name_for(repo.full_name)
+        assert svc.get_index(name).commit is not None
+
+        # no upstream change -> no reindex
+        assert svc.sync_repository(repo.full_name) is False
+
+        # push a change upstream; webhook triggers reindex
+        (origin / "src" / "extra.py").write_text("def extra_feature(): pass\n")
+        _git(["add", "-A"], origin)
+        _git(["commit", "-m", "feature"], origin)
+        ev = WebhookEvent(event_type="push", repository=repo)
+        assert svc.handle_webhook(ev) is True
+        hits = svc.search("extra feature", top_k=5)
+        assert any("extra.py" in h["path"] for h in hits)
+
+        # non-push ignored
+        ev2 = WebhookEvent(event_type="pull_request", repository=repo)
+        assert svc.handle_webhook(ev2) is False
+
+
+class TestWorkspaces:
+    def test_crud_and_scoped_search(self, svc, tmp_path):
+        for name, text in (("alpha", "alpha retrieval engine code"),
+                           ("beta", "beta database migration sql")):
+            src = tmp_path / name
+            make_tree(src, {f"{name}.py": f"# {text}\n" + "\n".join(
+                f"def {name}_{i}(): pass" for i in range(3))})
+            svc.index_local_path(src, name, repository=f"org/{name}")
+
+        svc.create_workspace("ws", "test workspace")
+        svc.add_repo_to_workspace("ws", "org/alpha")
+        ws = svc.get_workspace("ws")
+        assert ws["repositories"] == ["org/alpha"]
+        assert svc.get_workspace_index_names("ws") == ["org_alpha"]
+
+        # Workspace-scoped search only hits alpha... but index name mapping
+        # uses repository full name; our local indexes were named directly.
+        hits = svc.search("retrieval engine", workspace="ws")
+        assert all(h["index"] == "org_alpha" for h in hits)  # none match -> []
+
+        assert [w["name"] for w in svc.list_workspaces()] == ["ws"]
+        svc.remove_repo_from_workspace("ws", "org/alpha")
+        assert svc.get_workspace("ws")["repositories"] == []
+        svc.delete_workspace("ws")
+        with pytest.raises(WorkspaceNotFound):
+            svc.get_workspace("ws")
+
+
+class TestWatcher:
+    def test_extract_repo_path(self, tmp_path):
+        root = tmp_path
+        f = root / "github" / "owner" / "repo" / "src" / "a.py"
+        assert extract_repo_path(root, f) == "github/owner/repo"
+        assert extract_repo_path(root, root / "too" / "short") is None
+        assert extract_repo_path(root, Path("/elsewhere/x/y/z")) is None
+
+    def test_debounce(self, tmp_path):
+        fired = []
+        root = tmp_path / "repos"
+        make_tree(root, {"gh/o/r/src/a.py": "x = 1\n"})
+        w = IndexWatcher(root, fired.append, debounce_seconds=10.0)
+        w._mtimes = w._scan()  # baseline
+        t0 = time.monotonic()
+        # modify a file -> pending, not fired before debounce
+        (root / "gh/o/r/src/a.py").write_text("x = 2\n")
+        assert w.poll_once(now=t0) == []
+        assert w.poll_once(now=t0 + 5.0) == []
+        # fires after debounce window
+        assert w.poll_once(now=t0 + 11.0) == ["gh/o/r"]
+        assert fired == ["gh/o/r"]
+        # no re-fire without further changes
+        assert w.poll_once(now=t0 + 30.0) == []
+
+    def test_git_dir_ignored(self, tmp_path):
+        fired = []
+        root = tmp_path / "repos"
+        make_tree(root, {"gh/o/r/.git/HEAD": "ref: x\n", "gh/o/r/a.py": "x\n"})
+        w = IndexWatcher(root, fired.append, debounce_seconds=0.0)
+        w._mtimes = w._scan()
+        (root / "gh/o/r/.git/HEAD").write_text("ref: y\n")
+        assert w.poll_once() == []
