@@ -30,13 +30,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from islands_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from islands_tpu.core.build import build_index
     from islands_tpu.core.config import DistanceMetric, LeannConfig
     from islands_tpu.core.search import StoredSearcher
     from islands_tpu.ops import distance as dist_ops
 
     metric = DistanceMetric.EUCLIDEAN  # SIFT-style
-    cfg = LeannConfig(metric=metric)  # paper defaults: M=30, m0=60, efC=128
+    cfg = LeannConfig(metric=metric, wave_size=4096)  # paper graph params
 
     key = jax.random.PRNGKey(0)
     kx, kq = jax.random.split(key)

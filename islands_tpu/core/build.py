@@ -236,7 +236,7 @@ def wave_body(
     efc = config.ef_construction
     metric = config.metric
     intra_k = min(config.intra_wave_k, wave - 1) if wave > 1 else 0
-    scorer = make_stored_scorer(x_prepped, metric)
+    scorer = make_stored_scorer(metric)
     d = x_prepped.shape[1]
 
     select = jax.vmap(
@@ -263,7 +263,7 @@ def wave_body(
         expand_width=config.expand_width,
         max_iters=max_iters,
     )
-    g_dists, g_ids = jax.vmap(search)(q)
+    g_dists, g_ids = jax.vmap(lambda qi: search(qi, x_prepped))(q)
 
     # 2. intra-wave brute-force candidates
     if intra_k > 0:
@@ -314,31 +314,44 @@ def wave_body(
     return neighbors, degrees
 
 
-def _make_wave_step(
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n", "wave", "buffer_width", "max_iters"),
+)
+def wave_step(
+    neighbors: Array,
+    degrees: Array,
+    s: Array,
+    entry: Array,
     x_prepped: Array,
-    levels_dev,
+    count: Array | None = None,
+    *,
     config: LeannConfig,
     n: int,
     wave: int,
     buffer_width: int,
     max_iters: int,
 ):
-    """Jitted per-wave insertion step closed over the corpus (one compilation
-    per wave size, executed n/wave times)."""
-    body = functools.partial(
-        wave_body,
-        config=config,
-        n=n,
-        wave=wave,
-        buffer_width=buffer_width,
+    """Jitted per-wave insertion step. The corpus is an ARGUMENT (never a
+    closure) so one compilation per (n, wave, d) shape serves every build in
+    the process — closing over the array would bake it in as a constant and
+    recompile per corpus (SURVEY.md §7; measured 75s/compile before). `n` is
+    the padded structural size; `count` the logical corpus size (build_index
+    pads corpora to power-of-two buckets so executables — and the persistent
+    compilation cache — are shared across corpus sizes)."""
+    return wave_body(
+        neighbors, degrees, s, entry, x_prepped, count,
+        config=config, n=n, wave=wave, buffer_width=buffer_width,
         max_iters=max_iters,
     )
 
-    @jax.jit
-    def wave_step(neighbors: Array, degrees: Array, s: Array, entry: Array):
-        return body(neighbors, degrees, s, entry, x_prepped)
 
-    return wave_step
+def _bucket_size(n: int) -> int:
+    """Next power of two >= n (floor 512): the structural padding bucket."""
+    b = 512
+    while b < n:
+        b *= 2
+    return b
 
 
 def build_index(
@@ -365,12 +378,16 @@ def build_index(
     x_prepped = dist_ops.prep_corpus(x, config.metric)
     m0 = config.m0
     buffer_width = m0 + config.reverse_slack
+    # Structural padding: arrays sized to a power-of-two bucket so the wave
+    # executables are shared across corpus sizes (and across processes via
+    # the persistent compilation cache). Rows >= n never insert (count mask).
+    n_pad = _bucket_size(n)
 
-    neighbors = jnp.full((n, buffer_width), SENTINEL, dtype=jnp.int32)
-    degrees = jnp.zeros((n,), dtype=jnp.int32)
+    neighbors = jnp.full((n_pad, buffer_width), SENTINEL, dtype=jnp.int32)
+    degrees = jnp.zeros((n_pad,), dtype=jnp.int32)
 
     # --- wave 0: brute-force kNN init over a small seed set ---
-    w0 = min(n, max(2 * m0, 128))
+    w0 = min(n, max(2 * m0, 256))
     k0 = min(m0, w0 - 1)
     if k0 > 0:
         d0 = dist_ops.pairwise_distance(x_prepped[:w0], x_prepped[:w0], config.metric)
@@ -388,27 +405,28 @@ def build_index(
     # would misalign queries with their wave ids).
     if w0 < n:
         max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
-        max_wave = min(config.wave_size, n)
-        x_padded = jnp.pad(x_prepped, ((0, max_wave), (0, 0)))
-        step_cache: dict[int, object] = {}
+        max_wave = min(config.wave_size, n_pad)
+        x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
+        count = jnp.int32(n)
         s = w0
         while s < n:
-            wave = min(max_wave, 1 << max(6, (s // 2).bit_length() - 1))
-            if wave not in step_cache:
-                step_cache[wave] = _make_wave_step(
-                    x_padded, None, config, n, wave, buffer_width, max_iters
-                )
+            wave = min(max_wave, 1 << max(8, (s // 2).bit_length() - 1))
             entry = jnp.int32(entries[s])
-            neighbors, degrees = step_cache[wave](
-                neighbors, degrees, jnp.int32(s), entry
+            neighbors, degrees = wave_step(
+                neighbors, degrees, jnp.int32(s), entry, x_padded, count,
+                config=config, n=n_pad, wave=wave, buffer_width=buffer_width,
+                max_iters=max_iters,
             )
             s += wave
+    else:
+        x_padded = jnp.pad(x_prepped, ((0, n_pad - n), (0, 0)))
 
-    # --- final sweep: repair any node still over m0, crop slack ---
+    # --- final sweep: repair any node still over m0, crop slack + padding ---
     neighbors, degrees = _final_sweep(
-        neighbors, degrees, x_prepped, m0, config.metric
+        neighbors, degrees, x_padded[:n_pad], m0, config.metric
     )
-    neighbors = neighbors[:, :m0]
+    neighbors = neighbors[:n, :m0]
+    degrees = degrees[:n]
 
     max_level = int(levels.max())
     entry = int(np.argmax(levels == max_level))

@@ -28,7 +28,14 @@ class EmbeddingError(ValueError):
 
 @runtime_checkable
 class EmbeddingProvider(Protocol):
-    """Protocol for id -> embedding computation (leann.rs:82-99)."""
+    """Protocol for id -> embedding computation (leann.rs:82-99).
+
+    Device surface: `embed_fn` is a STATIC jittable function
+    `(embed_ctx, ids [E] int32) -> [E, d] f32`; `embed_ctx` is the pytree of
+    arrays it reads (corpus / params / token tables). The ctx flows through
+    jit as an argument — never a closure — so search executables are shared
+    across corpora (see core/search.py compile discipline). Out-of-range ids
+    may return arbitrary rows (callers mask validity)."""
 
     @property
     def dimension(self) -> int: ...
@@ -36,14 +43,21 @@ class EmbeddingProvider(Protocol):
     @property
     def num_items(self) -> int: ...
 
-    def batch_fn(self) -> Callable[[Array], Array]:
-        """Return a jittable `ids [E] int32 -> embeddings [E, d] f32` closure.
-        Out-of-range ids may return arbitrary rows (callers mask validity)."""
-        ...
+    @property
+    def embed_fn(self) -> Callable[[Any, Array], Array]: ...
+
+    @property
+    def embed_ctx(self): ...
 
     def compute_embedding(self, item_id: int) -> np.ndarray: ...
 
     def compute_embeddings_batch(self, ids) -> np.ndarray: ...
+
+
+def _gather_embed(ctx, ids: Array) -> Array:
+    """embed_fn of the in-memory provider: plain row gather."""
+    x = ctx
+    return x[jnp.clip(ids, 0, x.shape[0] - 1)]
 
 
 class InMemoryEmbeddingProvider:
@@ -66,6 +80,14 @@ class InMemoryEmbeddingProvider:
 
     @property
     def embeddings(self) -> Array:
+        return self._x
+
+    @property
+    def embed_fn(self):
+        return _gather_embed
+
+    @property
+    def embed_ctx(self):
         return self._x
 
     def batch_fn(self) -> Callable[[Array], Array]:
@@ -99,6 +121,8 @@ class CallableEmbeddingProvider:
         self._fn = fn
         self._dimension = dimension
         self._num_items = num_items
+        # stable per-instance wrapper so jit static-arg hashing is consistent
+        self._embed_fn = lambda ctx, ids: fn(ids)
 
     @property
     def dimension(self) -> int:
@@ -107,6 +131,14 @@ class CallableEmbeddingProvider:
     @property
     def num_items(self) -> int:
         return self._num_items
+
+    @property
+    def embed_fn(self):
+        return self._embed_fn
+
+    @property
+    def embed_ctx(self):
+        return None
 
     def batch_fn(self) -> Callable[[Array], Array]:
         return self._fn

@@ -266,24 +266,14 @@ class HnswIndex:
             cur_global = jnp.asarray(layer.ids)[cur_local]
 
         # Layer-0 beam with per-query entry points.
-        if max_iters is None:
-            max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
-        key = (ef, expand_width, max_iters)
-        if key not in self._jit_cache:
-            from islands_tpu.core.search import _search_one, make_stored_scorer
+        from islands_tpu.core.search import batched_search, default_max_iters, make_stored_scorer
 
-            scorer = make_stored_scorer(self.x, self.config.metric)
-            search = functools.partial(
-                _search_one,
-                neighbors=self.layer0.neighbors,
-                scorer=scorer,
-                ef=ef,
-                expand_width=expand_width,
-                max_iters=max_iters,
-            )
-            self._jit_cache[key] = jax.jit(
-                jax.vmap(lambda qi, e: search(qi, entry_point=e))
-            )
-        dists, ids = self._jit_cache[key](qp, cur_global)
+        if max_iters is None:
+            max_iters = default_max_iters(ef, expand_width)
+        dists, ids = batched_search(
+            qp, self.x, self.layer0.neighbors, cur_global,
+            scorer=make_stored_scorer(self.config.metric),
+            ef=ef, expand_width=expand_width, max_iters=max_iters,
+        )
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
         return (dists[0], ids[0]) if single else (dists, ids)

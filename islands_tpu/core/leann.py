@@ -34,10 +34,11 @@ from islands_tpu.core.embedding import (
     InMemoryEmbeddingProvider,
     materialize_embeddings,
 )
-from islands_tpu.core.pq import ProductQuantizer, make_gated_scorer
+from islands_tpu.core.pq import ProductQuantizer, gated_prep_for, gated_scorer_for
 from islands_tpu.core.search import (
-    _search_one,
-    _search_one_two_level,
+    batched_search,
+    batched_two_level_search,
+    default_max_iters,
     make_prune_fn,
     make_recompute_scorer,
 )
@@ -68,7 +69,6 @@ class LeannIndex:
         self.dimension: int | None = None
         self.pq: ProductQuantizer | None = None
         self.pq_codes: Array | None = None
-        self._search_cache: dict = {}
         self.last_recompute_fraction: float | None = None
 
     # -- introspection (reference: leann.rs:836-856) -----------------------
@@ -112,7 +112,6 @@ class LeannIndex:
         if with_pq is not None:
             self._train_pq(x, with_pq)
         del x
-        self._search_cache.clear()
         return self
 
     def build_from_embeddings(
@@ -125,7 +124,6 @@ class LeannIndex:
         self.graph = build_mod.build_index(x, self.config)
         if with_pq is not None:
             self._train_pq(x, with_pq)
-        self._search_cache.clear()
         return self
 
     def _train_pq(self, x: Array, pq_config: PQConfig) -> None:
@@ -165,31 +163,20 @@ class LeannIndex:
         ef = max(ef if ef is not None else self.config.ef_search, k)
         expand_width = expand_width or self.config.expand_width
         if max_iters is None:
-            max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
+            max_iters = default_max_iters(ef, expand_width)
 
-        key = ("recompute", id(provider), ef, expand_width, max_iters)
-        if key not in self._search_cache:
-            scorer = make_recompute_scorer(provider.batch_fn(), self.config.metric)
-            prune = make_prune_fn(
-                self.config.pruning_strategy,
-                self.config.prune_ratio,
-                ef,
-                graph.degrees,
-                seed=self.config.seed,
-            )
-            search = functools.partial(
-                _search_one,
-                neighbors=graph.neighbors,
-                entry_point=graph.entry_point,
-                scorer=scorer,
-                ef=ef,
-                expand_width=expand_width,
-                max_iters=max_iters,
-                prune_fn=prune,
-            )
-            self._search_cache[key] = jax.jit(jax.vmap(search))
+        scorer = make_recompute_scorer(provider.embed_fn, self.config.metric)
+        prune = make_prune_fn(
+            self.config.pruning_strategy, self.config.prune_ratio, ef,
+            seed=self.config.seed,
+        )
         qp = dist_ops.prep_query(q, self.config.metric)
-        dists, ids = self._search_cache[key](qp)
+        dists, ids = batched_search(
+            qp, provider.embed_ctx, graph.neighbors, graph.entry_point,
+            graph.degrees,
+            scorer=scorer, ef=ef, expand_width=expand_width,
+            max_iters=max_iters, prune_fn=prune,
+        )
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
         return (dists[0], ids[0]) if single else (dists, ids)
 
@@ -231,30 +218,17 @@ class LeannIndex:
         if max_iters is None:
             max_iters = 8 * max(ef // max(promote_width, 1), 1) + 32
 
-        key = ("two_level", id(provider), ef, expand_width, aq_width, promote_width, max_iters)
-        if key not in self._search_cache:
-            exact = make_recompute_scorer(provider.batch_fn(), self.config.metric)
-            prep, approx = make_gated_scorer(self.pq, self.pq_codes, self.config.metric)
-            search = functools.partial(
-                _search_one_two_level,
-                neighbors=graph.neighbors,
-                entry_point=graph.entry_point,
-                exact_scorer=exact,
-                approx_scorer=approx,
-                ef=ef,
-                aq_width=aq_width,
-                promote_width=promote_width,
-                expand_width=expand_width,
-                max_iters=max_iters,
-            )
-
-            def batched(qp):
-                tables = jax.vmap(prep)(qp)
-                return jax.vmap(search)(qp, tables)
-
-            self._search_cache[key] = jax.jit(batched)
+        exact = make_recompute_scorer(provider.embed_fn, self.config.metric)
         qp = dist_ops.prep_query(q, self.config.metric)
-        dists, ids, n_exact = self._search_cache[key](qp)
+        dists, ids, n_exact = batched_two_level_search(
+            qp, provider.embed_ctx, self.pq_codes, self.pq.codebook.centroids,
+            graph.neighbors, graph.entry_point,
+            exact_scorer=exact,
+            approx_scorer=gated_scorer_for(self.config.metric),
+            prep_fn=gated_prep_for(self.config.metric),
+            ef=ef, aq_width=aq_width, promote_width=promote_width,
+            expand_width=expand_width, max_iters=max_iters,
+        )
         self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
         return (dists[0], ids[0]) if single else (dists, ids)

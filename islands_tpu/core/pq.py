@@ -394,36 +394,52 @@ def _build_metric_tables(q: Array, centroids: Array, metric_name: str) -> Array:
     return t.transpose(1, 0, 2)  # [B, S, k]
 
 
-def make_gated_scorer(pq: ProductQuantizer, codes: Array, metric):
-    """Approximate scorer for the two-level search whose outputs live on the
-    same scale as the exact metric (cosine distance ~ 1 - q.recon, etc.).
-    For COSINE the quantizer must have been trained on L2-normalized vectors.
-
-    Returns (prep_fn, scorer): `prep_fn(q_prepped [d]) -> tables [S, k]`,
-    `scorer(tables, ids, valid) -> dists [E]`.
-    """
-    cb = pq._require_trained()
-    centroids = cb.centroids
-    codes = jnp.asarray(codes)
+def _gated_approx_scorer(ctx, tables: Array, ids: Array, valid: Array, *, metric_name: str) -> Array:
+    """Approximate hop scorer: ctx = codes [n, S]; out[e] =
+    finalize(sum_s tables[s, codes[ids[e], s]]) on the exact metric's scale."""
+    codes = ctx
     n = codes.shape[0]
+    rows = codes[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)  # [E, S]
+    g = jnp.take_along_axis(tables[None, :, :], rows[:, :, None], axis=2)[..., 0]
+    s = jnp.sum(g, axis=-1)  # [E]
+    if metric_name == "cosine":
+        d = 1.0 + s
+    elif metric_name == "dotproduct":
+        d = s
+    elif metric_name == "euclidean":
+        d = jnp.sqrt(jnp.maximum(s, 0.0))
+    else:
+        d = s
+    return jnp.where(valid, d, jnp.inf)
+
+
+def _gated_prep(ctx, qp: Array, *, metric_name: str) -> Array:
+    """Per-query ADC tables: ctx = centroids [S, K, sd], qp [B, d] (prepped)
+    -> tables [B, S, K]."""
+    return _build_metric_tables(qp, ctx, metric_name)
+
+
+_GATED_SCORERS: dict = {}
+_GATED_PREPS: dict = {}
+
+
+def gated_scorer_for(metric):
+    """Cached approximate scorer for the two-level search whose outputs live
+    on the same scale as the exact metric (cosine distance ~ 1 - q.recon,
+    etc.). For COSINE the quantizer must have been trained on L2-normalized
+    vectors. ctx = the PQ codes array."""
     mname = getattr(metric, "value", str(metric))
+    if mname not in _GATED_SCORERS:
+        _GATED_SCORERS[mname] = functools.partial(
+            _gated_approx_scorer, metric_name=mname
+        )
+    return _GATED_SCORERS[mname]
 
-    def prep(q: Array) -> Array:
-        return _build_metric_tables(jnp.atleast_2d(q), centroids, mname)[0]
 
-    # gather: out[e] = finalize(sum_s tables[s, rows[e, s]])
-    def scorer(tables: Array, ids: Array, valid: Array) -> Array:
-        rows = codes[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)  # [E, S]
-        g = jnp.take_along_axis(tables[None, :, :], rows[:, :, None], axis=2)[..., 0]
-        s = jnp.sum(g, axis=-1)  # [E]
-        if mname == "cosine":
-            d = 1.0 + s
-        elif mname == "dotproduct":
-            d = s
-        elif mname == "euclidean":
-            d = jnp.sqrt(jnp.maximum(s, 0.0))
-        else:
-            d = s
-        return jnp.where(valid, d, jnp.inf)
-
-    return prep, scorer
+def gated_prep_for(metric):
+    """Cached table-prep fn `(centroids_ctx, qp) -> tables` for the two-level
+    search."""
+    mname = getattr(metric, "value", str(metric))
+    if mname not in _GATED_PREPS:
+        _GATED_PREPS[mname] = functools.partial(_gated_prep, metric_name=mname)
+    return _GATED_PREPS[mname]

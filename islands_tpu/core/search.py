@@ -20,112 +20,159 @@ Equivalence to the reference's semantics:
 Entries evicted from the pool are never expanded; the reference would break
 before expanding them anyway (eviction implies distance > worst, and worst is
 non-increasing), so the result sets coincide.
+
+Compilation discipline: scorers are (static function, context pytree) pairs —
+`scorer(ctx, q, ids, valid) -> dists` with the corpus/codes/params flowing
+through `ctx` as a jit ARGUMENT, never a Python closure. Closing over a device
+array would bake it into the executable as a constant, forcing a recompile per
+corpus and bloating compile time (measured 75s -> sub-second re-dispatch after
+this refactor). Scorer functions are cached per metric so jit's static-arg
+hashing sees one stable object per configuration.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-from islands_tpu.core.config import DistanceMetric
+from islands_tpu.core.config import DistanceMetric, PruningStrategy
 from islands_tpu.core.csr import SENTINEL, CsrGraph
 from islands_tpu.ops import distance as dist_ops
 
 Array = jax.Array
-# scorer(q_prepped [d-like], ids [E] int32, valid [E] bool) -> dists [E] f32
-Scorer = Callable[[Array, Array, Array], Array]
+# scorer(ctx, q, ids [E] int32, valid [E] bool) -> dists [E] f32
+Scorer = Callable[[Any, Array, Array, Array], Array]
 
 _INF = jnp.float32(jnp.inf)
 
 
-def make_stored_scorer(x_prepped: Array, metric: DistanceMetric) -> Scorer:
-    """Exact scorer over stored embeddings: gather rows from HBM + one fused
-    matvec. `x_prepped` must come from `dist_ops.prep_corpus`."""
-
-    def scorer(q: Array, ids: Array, valid: Array) -> Array:
-        rows = x_prepped[jnp.clip(ids, 0, x_prepped.shape[0] - 1)]
-        d = dist_ops.rowwise_distance(q, rows, metric)
-        return jnp.where(valid, d, _INF)
-
-    return scorer
+# ---------------------------------------------------------------------------
+# Scorers (static fn + ctx pytree)
+# ---------------------------------------------------------------------------
 
 
-def make_recompute_scorer(batch_fn, metric: DistanceMetric) -> Scorer:
-    """Exact scorer that RECOMPUTES embeddings on the fly via a jittable
-    provider function (`EmbeddingProvider.batch_fn()`) — LEANN's core trick
+def _stored_scorer(ctx, q: Array, ids: Array, valid: Array, *, metric) -> Array:
+    """Exact scorer over stored embeddings: ctx = prepped corpus [N, d]."""
+    x = ctx
+    rows = x[jnp.clip(ids, 0, x.shape[0] - 1)]
+    d = dist_ops.rowwise_distance(q, rows, metric)
+    return jnp.where(valid, d, _INF)
+
+
+_STORED_SCORERS: dict = {}
+
+
+def make_stored_scorer(metric: DistanceMetric) -> Scorer:
+    """Stable (cached) stored-embedding scorer for `metric`. Pass the prepped
+    corpus as the search ctx."""
+    if metric not in _STORED_SCORERS:
+        _STORED_SCORERS[metric] = functools.partial(_stored_scorer, metric=metric)
+    return _STORED_SCORERS[metric]
+
+
+def _recompute_scorer(ctx, q, ids, valid, *, embed_fn, metric) -> Array:
+    """Exact scorer that RECOMPUTES embeddings on the fly — LEANN's core trick
     (reference: provider.compute_embeddings_batch inside the hop,
-    leann.rs:946-948). The recompute fuses into the search loop: no host
-    round-trip per hop."""
+    leann.rs:946-948). ctx = the provider's context pytree; `embed_fn(ctx,
+    ids) -> [E, d]` is a static jittable function, so the recompute fuses into
+    the search loop with no host round-trip."""
+    rows = embed_fn(ctx, jnp.where(valid, ids, 0).astype(jnp.int32))
+    rows = dist_ops.prep_corpus(rows, metric)
+    d = dist_ops.rowwise_distance(q, rows, metric)
+    return jnp.where(valid, d, _INF)
 
-    def scorer(q: Array, ids: Array, valid: Array) -> Array:
-        rows = batch_fn(jnp.where(valid, ids, 0).astype(jnp.int32))
-        rows = dist_ops.prep_corpus(rows, metric)
-        d = dist_ops.rowwise_distance(q, rows, metric)
-        return jnp.where(valid, d, _INF)
 
-    return scorer
+_RECOMPUTE_SCORERS: dict = {}
+
+
+def make_recompute_scorer(embed_fn, metric: DistanceMetric) -> Scorer:
+    """Recompute scorer for (embed_fn, metric); cached so repeat calls hit the
+    jit cache. `embed_fn` must itself be stable-hashable (module-level fn or a
+    provider-cached partial)."""
+    key = (embed_fn, metric)
+    if key not in _RECOMPUTE_SCORERS:
+        _RECOMPUTE_SCORERS[key] = functools.partial(
+            _recompute_scorer, embed_fn=embed_fn, metric=metric
+        )
+    return _RECOMPUTE_SCORERS[key]
+
+
+# ---------------------------------------------------------------------------
+# Pruning strategies (reference: apply_pruning_strategy, leann.rs:991-1056)
+# ---------------------------------------------------------------------------
+
+
+def _prune_mask(
+    degrees: Array,
+    ids: Array,
+    keep: Array,
+    pool_count: Array,
+    it: Array,
+    *,
+    strategy: PruningStrategy,
+    prune_ratio: float,
+    ef: int,
+    seed: int,
+) -> Array:
+    e_valid = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1  # rank among kept
+    num_to_keep = jnp.maximum(
+        jnp.ceil(e_valid.astype(jnp.float32) * (1.0 - prune_ratio)).astype(jnp.int32),
+        1,
+    )
+    if strategy == PruningStrategy.GLOBAL:
+        # Prunes harder as the result pool fills (leann.rs:1009-1015).
+        ratio = pool_count.astype(jnp.float32) / float(ef)
+        adj = jnp.ceil(
+            e_valid.astype(jnp.float32) * (1.0 - ratio * prune_ratio)
+        ).astype(jnp.int32)
+        return keep & (pos < jnp.maximum(adj, 1))
+    if strategy == PruningStrategy.LOCAL:
+        # First N in candidate order (leann.rs:1016-1019).
+        return keep & (pos < num_to_keep)
+    # PROPORTIONAL: degree-weighted random accept, expected count num_to_keep,
+    # fall back to the first candidate if none accepted (leann.rs:1020-1055).
+    n = degrees.shape[0]
+    deg = jnp.where(keep, degrees[jnp.clip(ids, 0, n - 1)], 0)
+    total = jnp.maximum(jnp.sum(deg), 1)
+    prob = deg.astype(jnp.float32) / total.astype(jnp.float32)
+    u = jax.random.uniform(
+        jax.random.fold_in(jax.random.PRNGKey(seed), it), keep.shape
+    )
+    accept = keep & (u < prob * num_to_keep.astype(jnp.float32))
+    acc_pos = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    accept = accept & (acc_pos < num_to_keep)
+    any_acc = jnp.any(accept)
+    first_valid = keep & (pos == 0)
+    return jnp.where(any_acc, accept, first_valid)
+
+
+_PRUNE_FNS: dict = {}
 
 
 def make_prune_fn(
-    strategy,
-    prune_ratio: float,
-    ef: int,
-    degrees: Array,
-    seed: int = 0,
+    strategy: PruningStrategy, prune_ratio: float, ef: int, seed: int = 0
 ):
-    """Candidate-pruning mask applied to unvisited neighbors before exact
-    scoring (reference: apply_pruning_strategy, leann.rs:991-1056). Returns
-    None when prune_ratio == 0 (score everything, leann.rs:999-1001).
-
-    `prune(ids, keep, pool_count, it) -> keep`:
-    - GLOBAL: keep ceil(E*(1 - |R|/ef * prune_ratio)) — prunes harder as the
-      result pool fills (leann.rs:1009-1015).
-    - LOCAL: keep ceil(E*(1 - prune_ratio)) in candidate order
-      (leann.rs:1016-1019).
-    - PROPORTIONAL: degree-weighted random accept with expected count
-      num_to_keep; falls back to the first candidate if none accepted
-      (leann.rs:1020-1055).
-    Pruned neighbors remain marked visited, matching the reference's
-    visited.insert-at-filter-time (leann.rs:933-937).
-    """
-    from islands_tpu.core.config import PruningStrategy
-
+    """Cached pruning mask fn `(degrees, ids, keep, pool_count, it) -> keep`;
+    None when prune_ratio == 0 (score everything, leann.rs:999-1001). Pruned
+    neighbors remain marked visited (leann.rs:933-937)."""
     if prune_ratio <= 0.0:
         return None
-    n = degrees.shape[0]
-    base_key = jax.random.PRNGKey(seed)
-
-    def prune(ids: Array, keep: Array, pool_count: Array, it: Array) -> Array:
-        e_valid = jnp.sum(keep.astype(jnp.int32))
-        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1  # rank among kept
-        num_to_keep = jnp.maximum(
-            jnp.ceil(e_valid.astype(jnp.float32) * (1.0 - prune_ratio)).astype(jnp.int32),
-            1,
+    key = (strategy, prune_ratio, ef, seed)
+    if key not in _PRUNE_FNS:
+        _PRUNE_FNS[key] = functools.partial(
+            _prune_mask, strategy=strategy, prune_ratio=prune_ratio, ef=ef,
+            seed=seed,
         )
-        if strategy == PruningStrategy.GLOBAL:
-            ratio = pool_count.astype(jnp.float32) / float(ef)
-            adj = jnp.ceil(
-                e_valid.astype(jnp.float32) * (1.0 - ratio * prune_ratio)
-            ).astype(jnp.int32)
-            return keep & (pos < jnp.maximum(adj, 1))
-        if strategy == PruningStrategy.LOCAL:
-            return keep & (pos < num_to_keep)
-        # PROPORTIONAL
-        deg = jnp.where(keep, degrees[jnp.clip(ids, 0, n - 1)], 0)
-        total = jnp.maximum(jnp.sum(deg), 1)
-        prob = deg.astype(jnp.float32) / total.astype(jnp.float32)
-        u = jax.random.uniform(jax.random.fold_in(base_key, it), keep.shape)
-        accept = keep & (u < prob * num_to_keep.astype(jnp.float32))
-        acc_pos = jnp.cumsum(accept.astype(jnp.int32)) - 1
-        accept = accept & (acc_pos < num_to_keep)
-        any_acc = jnp.any(accept)
-        first_valid = keep & (pos == 0)
-        return jnp.where(any_acc, accept, first_valid)
+    return _PRUNE_FNS[key]
 
-    return prune
+
+# ---------------------------------------------------------------------------
+# Core loop
+# ---------------------------------------------------------------------------
 
 
 def _dedup_sorted(ids: Array, num_nodes: int) -> tuple[Array, Array]:
@@ -141,8 +188,11 @@ def _dedup_sorted(ids: Array, num_nodes: int) -> tuple[Array, Array]:
 
 def _search_one(
     q: Array,
+    ctx,
     neighbors: Array,
     entry_point: Array,
+    degrees: Array | None = None,
+    *,
     scorer: Scorer,
     ef: int,
     expand_width: int,
@@ -152,13 +202,14 @@ def _search_one(
     """Single-query best-first search; vmap over queries for the batch.
 
     `prune_fn` (optional) masks which unvisited neighbors get scored —
-    the recompute-saving strategies of leann.rs:991-1056; pruned neighbors
-    still count as visited."""
+    the recompute-saving strategies of leann.rs:991-1056."""
     n, m = neighbors.shape
     em = expand_width * m
+    if degrees is None:
+        degrees = jnp.zeros((n,), dtype=jnp.int32)
 
     entry = jnp.maximum(entry_point, 0)
-    d_entry = scorer(q, entry[None], jnp.ones((1,), dtype=bool))[0]
+    d_entry = scorer(ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
 
     pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
@@ -197,10 +248,10 @@ def _search_one(
 
         if prune_fn is not None:
             pool_count = jnp.sum((pool_dists < _INF).astype(jnp.int32))
-            keep = prune_fn(sorted_ids, keep, pool_count, it)
+            keep = prune_fn(degrees, sorted_ids, keep, pool_count, it)
 
         # --- score ---
-        new_dists = scorer(q, sorted_ids, keep)
+        new_dists = scorer(ctx, q, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
 
         # --- merge into pool: sort (pool ++ new) by distance, keep best ef ---
@@ -216,10 +267,13 @@ def _search_one(
 
 
 def _search_one_two_level(
-    q_exact: Array,
-    q_tables: Array,
+    q: Array,
+    tables: Array,
+    exact_ctx,
+    approx_ctx,
     neighbors: Array,
     entry_point: Array,
+    *,
     exact_scorer: Scorer,
     approx_scorer: Scorer,
     ef: int,
@@ -232,9 +286,10 @@ def _search_one_two_level(
     docs/leann-specification.md:223-271) for a single query.
 
     Neighbors discovered each hop are scored with the cheap approximate
-    scorer (PQ-ADC table gather) into a persistent fixed-width Approximate
-    Queue; only the best `promote_width` AQ entries per hop are promoted to
-    exact scoring (embedding recompute) and merged into the exact pool.
+    scorer (PQ-ADC table gather over `approx_ctx` = codes) into a persistent
+    fixed-width Approximate Queue; only the best `promote_width` AQ entries
+    per hop are promoted to exact scoring (embedding recompute via
+    `exact_ctx`) and merged into the exact pool.
 
     Returns (pool_dists [ef], pool_ids [ef], n_exact_scored scalar) — the
     last is the recompute-efficiency metric the reference only dead-codes
@@ -244,7 +299,7 @@ def _search_one_two_level(
     em = expand_width * m
 
     entry = jnp.maximum(entry_point, 0)
-    d_entry = exact_scorer(q_exact, entry[None], jnp.ones((1,), dtype=bool))[0]
+    d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
 
     pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
@@ -259,13 +314,10 @@ def _search_one_two_level(
         unexp = jnp.where(pool_expanded, _INF, pool_dists)
         best_unexp = jnp.min(unexp)
         worst = pool_dists[-1]
-        # Keep going while there is work in either queue: an unexpanded exact
-        # candidate better than the worst pooled, or promotable AQ entries
-        # better than the worst pooled (the AQ is this formulation's "C").
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
-        # AQ distances are on the exact metric's scale (see pq.make_gated_scorer),
-        # so "could the best approximate candidate improve the pool" is a valid
-        # cross-queue comparison.
+        # AQ distances are on the exact metric's scale (see
+        # pq.gated_scorer_for), so "could the best approximate candidate
+        # improve the pool" is a valid cross-queue comparison.
         aq_work = aq_dists[0] <= worst
         return (exact_work | aq_work) & (it < max_iters)
 
@@ -287,7 +339,7 @@ def _search_one_two_level(
         keep = keep & ~visited[sorted_ids]
         visited = visited.at[jnp.where(keep, sorted_ids, n)].set(True)
 
-        d_approx = approx_scorer(q_tables, sorted_ids, keep)
+        d_approx = approx_scorer(approx_ctx, tables, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
 
         # --- merge into the approximate queue ---
@@ -301,7 +353,9 @@ def _search_one_two_level(
         aq_dists = aq_d[promote_width : promote_width + aq_width]
         aq_ids = aq_i[promote_width : promote_width + aq_width]
 
-        d_exact = exact_scorer(q_exact, jnp.where(prom_valid, prom_ids, 0), prom_valid)
+        d_exact = exact_scorer(
+            exact_ctx, q, jnp.where(prom_valid, prom_ids, 0), prom_valid
+        )
         n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
 
         all_d = jnp.concatenate([pool_dists, d_exact])
@@ -327,47 +381,101 @@ def _search_one_two_level(
     return pool_dists, pool_ids, n_exact
 
 
+# ---------------------------------------------------------------------------
+# Batched jitted entry points (process-wide jit cache: all operands are
+# arguments, scorers/sizes are hashable statics)
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scorer", "ef", "k", "expand_width", "max_iters")
+    jax.jit,
+    static_argnames=("scorer", "ef", "expand_width", "max_iters", "prune_fn"),
 )
-def beam_search(
-    queries_prepped: Array,
-    graph: CsrGraph,
+def batched_search(
+    qp: Array,
+    ctx,
+    neighbors: Array,
+    entry_point: Array,
+    degrees: Array | None = None,
+    *,
     scorer: Scorer,
     ef: int,
-    k: int,
     expand_width: int = 4,
-    max_iters: int | None = None,
+    max_iters: int = 100,
+    prune_fn=None,
 ) -> tuple[Array, Array]:
-    """Batched graph search: queries [B, d] (already through `prep_query`)
-    -> (dists [B, k], ids [B, k]) ascending; unfilled slots are (inf, -1).
-
-    `scorer` must be hashable (use functools.partial or a module-level
-    closure factory output bound once per corpus) for jit caching.
-    """
-    if max_iters is None:
-        max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
+    """qp [B, d] (prepped) -> (dists [B, ef], ids [B, ef]) ascending.
+    `entry_point` may be a scalar (shared) or a [B] array (per-query)."""
     search = functools.partial(
         _search_one,
-        neighbors=graph.neighbors,
-        entry_point=graph.entry_point,
+        neighbors=neighbors,
+        degrees=degrees,
         scorer=scorer,
         ef=ef,
         expand_width=expand_width,
         max_iters=max_iters,
+        prune_fn=prune_fn,
     )
-    pool_dists, pool_ids = jax.vmap(search)(queries_prepped)
-    return pool_dists[:, :k], pool_ids[:, :k]
+    if jnp.ndim(entry_point) == 0:
+        return jax.vmap(lambda q: search(q, ctx, entry_point=entry_point))(qp)
+    return jax.vmap(lambda q, e: search(q, ctx, entry_point=e))(qp, entry_point)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "exact_scorer", "approx_scorer", "prep_fn", "ef", "aq_width",
+        "promote_width", "expand_width", "max_iters",
+    ),
+)
+def batched_two_level_search(
+    qp: Array,
+    exact_ctx,
+    approx_ctx,
+    prep_ctx,
+    neighbors: Array,
+    entry_point: Array,
+    *,
+    exact_scorer: Scorer,
+    approx_scorer: Scorer,
+    prep_fn,
+    ef: int,
+    aq_width: int,
+    promote_width: int,
+    expand_width: int = 4,
+    max_iters: int = 100,
+) -> tuple[Array, Array, Array]:
+    """Two-level batched search. `prep_fn(prep_ctx, qp) -> tables [B, ...]`
+    builds the per-query ADC tables inside the same jit."""
+    tables = prep_fn(prep_ctx, qp)
+    search = functools.partial(
+        _search_one_two_level,
+        neighbors=neighbors,
+        entry_point=entry_point,
+        exact_scorer=exact_scorer,
+        approx_scorer=approx_scorer,
+        ef=ef,
+        aq_width=aq_width,
+        promote_width=promote_width,
+        expand_width=expand_width,
+        max_iters=max_iters,
+    )
+    return jax.vmap(lambda q, t: search(q, t, exact_ctx, approx_ctx))(qp, tables)
+
+
+def default_max_iters(ef: int, expand_width: int) -> int:
+    return 4 * max(ef // max(expand_width, 1), 1) + 16
+
+
+# ---------------------------------------------------------------------------
+# High-level searchers
+# ---------------------------------------------------------------------------
 
 
 class StoredSearcher:
     """Search handle over a graph + stored embeddings (the reference's
     `Searcher` builder role, src/core/search.rs:106-182, flattened to LEANN's
-    single-layer graph with a max-level entry point).
-
-    Holding the prepped corpus and scorer here keeps one jit cache entry per
-    (searcher, ef, k, expand_width) instead of recompiling per call.
-    """
+    single-layer graph with a max-level entry point)."""
 
     def __init__(
         self,
@@ -378,7 +486,7 @@ class StoredSearcher:
         self.graph = graph
         self.metric = metric
         self.x_prepped = dist_ops.prep_corpus(x, metric)
-        self._scorer = make_stored_scorer(self.x_prepped, metric)
+        self._scorer = make_stored_scorer(metric)
 
     def search(
         self,
@@ -394,11 +502,15 @@ class StoredSearcher:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
         ef = max(ef, k)
+        if max_iters is None:
+            max_iters = default_max_iters(ef, expand_width)
         qp = dist_ops.prep_query(queries, self.metric)
-        return beam_search(
-            qp, self.graph, self._scorer, ef=ef, k=k,
-            expand_width=expand_width, max_iters=max_iters,
+        dists, ids = batched_search(
+            qp, self.x_prepped, self.graph.neighbors, self.graph.entry_point,
+            scorer=self._scorer, ef=ef, expand_width=expand_width,
+            max_iters=max_iters,
         )
+        return dists[:, :k], ids[:, :k]
 
 
 def search_stored(
@@ -411,8 +523,7 @@ def search_stored(
     expand_width: int = 4,
     max_iters: int | None = None,
 ) -> tuple[Array, Array]:
-    """One-shot exact search over stored embeddings. For repeated queries use
-    StoredSearcher (this re-jits per call)."""
+    """One-shot exact search over stored embeddings."""
     return StoredSearcher(graph, x, metric).search(
         queries, k=k, ef=ef, expand_width=expand_width, max_iters=max_iters
     )

@@ -12,6 +12,8 @@ host round-trip (SURVEY.md §7 hard-part #4).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,15 @@ from islands_tpu.models import bert as bert_mod
 from islands_tpu.models.encoder import TextEncoder
 
 Array = jax.Array
+
+
+def _encoder_embed(ctx, ids: Array, *, config, normalize: bool) -> Array:
+    """Static embed_fn: ctx = (params, token_ids, token_mask). Gathers token
+    rows and runs the BERT forward — the recompute stage fused into search."""
+    params, token_ids, token_mask = ctx
+    n = max(token_ids.shape[0], 1)
+    safe = jnp.clip(ids, 0, n - 1)
+    return bert_mod.encode(params, token_ids[safe], token_mask[safe], config, normalize)
 
 
 class EncoderEmbeddingProvider:
@@ -36,6 +47,20 @@ class EncoderEmbeddingProvider:
         self.token_ids = jnp.asarray(token_ids, dtype=jnp.int32)
         self.token_mask = jnp.asarray(token_mask, dtype=jnp.int32)
         self._n = int(self.token_ids.shape[0])
+        # per-instance stable partial over hashable config -> shared jit cache
+        self._embed_fn = functools.partial(
+            _encoder_embed,
+            config=encoder.model_config,
+            normalize=encoder.config.normalize,
+        )
+
+    @property
+    def embed_fn(self):
+        return self._embed_fn
+
+    @property
+    def embed_ctx(self):
+        return (self.encoder.params, self.token_ids, self.token_mask)
 
     @staticmethod
     def from_texts(

@@ -115,7 +115,7 @@ def build_sharded(
     degrees = jax.device_put(np.zeros((s_count, n_local), dtype=np.int32), shard2)
 
     # --- wave 0: per-shard brute-force kNN init ---
-    w0 = min(n_local, max(2 * m0, 128))
+    w0 = min(n_local, max(2 * m0, 256))
     k0 = min(m0, w0 - 1)
 
     @functools.partial(
@@ -152,7 +152,7 @@ def build_sharded(
         step_cache: dict[int, object] = {}
         s = w0
         while s < n_local:
-            wave = min(max_wave, 1 << max(6, (s // 2).bit_length() - 1))
+            wave = min(max_wave, 1 << max(8, (s // 2).bit_length() - 1))
             if wave not in step_cache:
                 body = functools.partial(
                     wave_body,
@@ -235,7 +235,7 @@ class ArchipelagoSearcher:
 
         def local_fn(q, nbrs, entry, xl, offset):
             nbrs, entry, xl, offset = nbrs[0], entry[0], xl[0], offset[0]
-            scorer = make_stored_scorer(xl, metric)
+            scorer = make_stored_scorer(metric)
             search = functools.partial(
                 _search_one,
                 neighbors=nbrs,
@@ -245,7 +245,7 @@ class ArchipelagoSearcher:
                 expand_width=expand_width,
                 max_iters=max_iters,
             )
-            d_loc, i_loc = jax.vmap(search)(q)
+            d_loc, i_loc = jax.vmap(lambda qi: search(qi, xl))(q)
             d_loc, i_loc = d_loc[:, :k], i_loc[:, :k]
             i_glob = jnp.where(i_loc >= 0, i_loc + offset, SENTINEL)
             # Merge across shards: all-gather per-shard top-k, re-top-k.
