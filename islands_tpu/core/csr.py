@@ -119,15 +119,14 @@ class CsrGraph:
     # -- true-CSR interop (the on-disk layout; see core/storage.py) --
     def to_csr_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (node_offsets [N+1] int64, flat_neighbors [E] int32,
-        levels [N] int32) — the reference's ragged layout."""
+        levels [N] int32) — the reference's ragged layout. Vectorized mask
+        select (row-major order == per-row valid prefixes)."""
         nbrs = np.asarray(self.neighbors)
         degs = np.asarray(self.degrees)
         offsets = np.zeros(self.num_nodes + 1, dtype=np.int64)
         np.cumsum(degs, out=offsets[1:])
-        flat = np.concatenate(
-            [nbrs[i, : degs[i]] for i in range(self.num_nodes)]
-            or [np.zeros(0, dtype=np.int32)]
-        ).astype(np.int32)
+        valid = np.arange(self.max_degree)[None, :] < degs[:, None]
+        flat = nbrs[valid].astype(np.int32)
         return offsets, flat, np.asarray(self.levels)
 
     @staticmethod
@@ -144,9 +143,8 @@ class CsrGraph:
         md = int(degs.max()) if (max_degree is None and n > 0) else (max_degree or 1)
         md = max(md, 1)
         nbrs = np.full((n, md), SENTINEL, dtype=np.int32)
-        for i in range(n):
-            s, e = int(offsets[i]), int(offsets[i + 1])
-            nbrs[i, : e - s] = flat_neighbors[s:e]
+        valid = np.arange(md)[None, :] < degs[:, None]
+        nbrs[valid] = np.asarray(flat_neighbors, dtype=np.int32)
         return CsrGraph(
             neighbors=jnp.asarray(nbrs),
             degrees=jnp.asarray(degs),

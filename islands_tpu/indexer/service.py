@@ -84,6 +84,7 @@ class IndexerConfig:
     chunk_size: int = 512  # islands.example.yaml:33
     chunk_overlap: int = 64  # islands.example.yaml:34
     embedding: EmbeddingConfig = dataclasses.field(default_factory=EmbeddingConfig)
+    use_native_loader: bool = True  # C++ walker/chunker with Python fallback
     leann: LeannConfig = dataclasses.field(
         default_factory=lambda: LeannConfig(
             m=16, m0=32, ef_construction=100, wave_size=512,
@@ -277,11 +278,23 @@ class IndexerService:
     ) -> IndexInfo:
         """Index a local directory (the tail of `islands add` after clone;
         reference: index_repository_with_progress, service.rs:498-606)."""
-        files = collect_files(path, self.config.index_extensions)
-        chunks = chunk_files(files, self.config.chunk_size, self.config.chunk_overlap)
+        chunks = None
+        if self.config.use_native_loader:
+            from islands_tpu.indexer.native import collect_chunks_native
+
+            chunks = collect_chunks_native(
+                path, self.config.index_extensions,
+                self.config.chunk_size, self.config.chunk_overlap,
+            )
+        if chunks is None:  # Python fallback (no toolchain / native error)
+            files = collect_files(path, self.config.index_extensions)
+            chunks = chunk_files(
+                files, self.config.chunk_size, self.config.chunk_overlap
+            )
         if not chunks:
             raise IndexingFailed(f"no indexable content under {path}")
-        logger.info("indexing %s: %d files, %d chunks", name, len(files), len(chunks))
+        num_files = len({c.path for c in chunks})
+        logger.info("indexing %s: %d files, %d chunks", name, num_files, len(chunks))
         emb = self.embed_texts([c.text for c in chunks])
 
         index = LeannIndex(self.config.leann)
@@ -291,7 +304,7 @@ class IndexerService:
             name=name,
             repository=repository or name,
             provider=provider,
-            num_files=len(files),
+            num_files=num_files,
             num_chunks=len(chunks),
             dimension=int(emb.shape[1]),
             commit=commit,
