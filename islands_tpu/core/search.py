@@ -186,6 +186,26 @@ def _dedup_sorted(ids: Array, num_nodes: int) -> tuple[Array, Array]:
     return sorted_ids, keep
 
 
+def _not_in_set(ids: Array, member_ids: Array) -> Array:
+    """Mask of ids NOT present in member_ids (SENTINEL entries never match).
+
+    This replaces the reference's visited HashSet (leann.rs:931-937). A dense
+    visited bitmask needs one scattered write per discovered neighbor, and
+    TPU scatters execute element-serialized (~60 ms/hop at batch 4096 — the
+    measured bottleneck of the whole engine). Correctness without it: pool
+    eviction is monotone (the worst pooled distance only decreases), so a
+    node dropped from the pool can never re-qualify; membership against the
+    CURRENT pool alone prevents duplicates, and re-scored rejects cost
+    nothing extra because the fixed-shape hop scores all E slots regardless.
+
+    Implementation is a dense [E, P] equality matrix on the VPU — measured
+    +0.04s per 40 hops at batch 4096 vs +60ms/hop for the scatter, and
+    `jnp.searchsorted` (binary-search lowering) is far slower than either.
+    """
+    eq = ids[:, None] == member_ids[None, :]
+    return ~jnp.any(eq, axis=1)
+
+
 def _search_one(
     q: Array,
     ctx,
@@ -215,7 +235,6 @@ def _search_one(
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
     # Empty slots count as already expanded.
     pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
-    visited = jnp.zeros((n + 1,), dtype=bool).at[entry].set(True)
 
     def cond(state):
         pool_dists, pool_expanded, *_ , it = state
@@ -225,13 +244,13 @@ def _search_one(
         return (best_unexp < _INF) & (best_unexp <= worst) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, visited, it = state
+        pool_dists, pool_expanded, pool_ids, it = state
 
         # --- pop: best `expand_width` unexpanded pool entries ---
         unexp = jnp.where(pool_expanded, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True)
+        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
         sel_ids = pool_ids[sel_pos]
 
         # --- gather neighbor ids [E, M] -> [E*M] ---
@@ -239,12 +258,11 @@ def _search_one(
         nbr_ids = rows.reshape(em)
         nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
 
-        # --- dedup within the hop + visited filter ---
+        # --- dedup within the hop + against the pool (scatter-free visited;
+        # see _not_in_set) ---
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
         sorted_ids, keep = _dedup_sorted(nbr_ids, n)
-        keep = keep & ~visited[sorted_ids]
-        # Mark visited whether or not scored (reference: leann.rs:933-937).
-        visited = visited.at[jnp.where(keep, sorted_ids, n)].set(True)
+        keep = keep & _not_in_set(sorted_ids, pool_ids)
 
         if prune_fn is not None:
             pool_count = jnp.sum((pool_dists < _INF).astype(jnp.int32))
@@ -259,10 +277,10 @@ def _search_one(
         all_i = jnp.concatenate([pool_ids, new_ids])
         all_e = jnp.concatenate([pool_expanded, ~keep])  # new invalid => expanded
         all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return (all_d[:ef], all_e[:ef], all_i[:ef], visited, it + 1)
+        return (all_d[:ef], all_e[:ef], all_i[:ef], it + 1)
 
-    state = (pool_dists, pool_expanded, pool_ids, visited, jnp.int32(0))
-    pool_dists, _, pool_ids, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (pool_dists, pool_expanded, pool_ids, jnp.int32(0))
+    pool_dists, _, pool_ids, _ = jax.lax.while_loop(cond, body, state)
     return pool_dists, pool_ids
 
 
@@ -306,7 +324,6 @@ def _search_one_two_level(
     pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
     aq_ids = jnp.full((aq_width,), SENTINEL, dtype=jnp.int32)
     aq_dists = jnp.full((aq_width,), _INF)
-    visited = jnp.zeros((n + 1,), dtype=bool).at[entry].set(True)
     n_exact = jnp.int32(1)
 
     def cond(state):
@@ -322,13 +339,13 @@ def _search_one_two_level(
         return (exact_work | aq_work) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, visited, n_exact, it = state
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact, it = state
 
         # --- Phase 1: expand best unexpanded exact entries, approx-score ---
         unexp = jnp.where(pool_expanded, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True)
+        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
         sel_ids = pool_ids[sel_pos]
 
         rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
@@ -336,8 +353,10 @@ def _search_one_two_level(
         nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
         sorted_ids, keep = _dedup_sorted(nbr_ids, n)
-        keep = keep & ~visited[sorted_ids]
-        visited = visited.at[jnp.where(keep, sorted_ids, n)].set(True)
+        # Scatter-free visited: not in the approximate queue and not in the
+        # exact pool (see _not_in_set for the monotonicity argument).
+        keep = keep & _not_in_set(sorted_ids, aq_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_ids)
 
         d_approx = approx_scorer(approx_ctx, tables, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
@@ -368,16 +387,15 @@ def _search_one_two_level(
             all_i[:ef],
             aq_dists,
             aq_ids,
-            visited,
             n_exact,
             it + 1,
         )
 
     state = (
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, visited, n_exact,
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact,
         jnp.int32(0),
     )
-    pool_dists, _, pool_ids, _, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    pool_dists, _, pool_ids, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
     return pool_dists, pool_ids, n_exact
 
 
