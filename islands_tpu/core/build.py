@@ -386,8 +386,12 @@ def build_index(
     neighbors = jnp.full((n_pad, buffer_width), SENTINEL, dtype=jnp.int32)
     degrees = jnp.zeros((n_pad,), dtype=jnp.int32)
 
-    # --- wave 0: brute-force kNN init over a small seed set ---
-    w0 = min(n, max(2 * m0, 256))
+    # --- wave 0: brute-force kNN init over a seed set ---
+    # Seed up to one full wave so subsequent waves run at max width from the
+    # start (small early waves are latency-bound: ~same wall time as a full
+    # wave for a fraction of the vectors). The [w0, w0] distance matrix is
+    # at most 4096^2 = 64 MB.
+    w0 = min(n, max(2 * m0, min(config.wave_size, 4096)))
     k0 = min(m0, w0 - 1)
     if k0 > 0:
         d0 = dist_ops.pairwise_distance(x_prepped[:w0], x_prepped[:w0], config.metric)
@@ -410,7 +414,7 @@ def build_index(
         count = jnp.int32(n)
         s = w0
         while s < n:
-            wave = min(max_wave, 1 << max(8, (s // 2).bit_length() - 1))
+            wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
             entry = jnp.int32(entries[s])
             neighbors, degrees = wave_step(
                 neighbors, degrees, jnp.int32(s), entry, x_padded, count,
