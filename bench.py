@@ -39,13 +39,23 @@ def main():
     from islands_tpu.core.search import StoredSearcher
     from islands_tpu.ops import distance as dist_ops
 
-    metric = DistanceMetric.EUCLIDEAN  # SIFT-style
+    metric = DistanceMetric.EUCLIDEAN
     cfg = LeannConfig(metric=metric, wave_size=4096)  # paper graph params
 
+    # Clustered synthetic corpus (Gaussian mixture): the BASELINE workload is
+    # code-chunk embeddings, which live on a low-dimensional manifold —
+    # uniform-random vectors at 1M x 128d have near-degenerate neighbor
+    # contrast and measure the data, not the index.
     key = jax.random.PRNGKey(0)
-    kx, kq = jax.random.split(key)
-    x = jax.random.uniform(kx, (N, DIM), dtype=jnp.float32)
-    queries = jax.random.uniform(kq, (N_QUERIES, DIM), dtype=jnp.float32)
+    kc, ka, kn, kq, kqa = jax.random.split(key, 5)
+    n_centers = max(min(4096, N // 64), 1)
+    centers = jax.random.normal(kc, (n_centers, DIM), dtype=jnp.float32)
+    assign = jax.random.randint(ka, (N,), 0, n_centers)
+    x = centers[assign] + 0.3 * jax.random.normal(kn, (N, DIM), dtype=jnp.float32)
+    q_assign = jax.random.randint(kqa, (N_QUERIES,), 0, n_centers)
+    queries = centers[q_assign] + 0.3 * jax.random.normal(
+        kq, (N_QUERIES, DIM), dtype=jnp.float32
+    )
     jax.block_until_ready((x, queries))
 
     # --- build ---

@@ -76,21 +76,49 @@ def _rank_of(keys: Array) -> Array:
     return jnp.argsort(order)
 
 
+def _diversity_mask(
+    cand_dists: Array, cand_emb: Array, valid: Array, metric: DistanceMetric
+) -> Array:
+    """RNG-heuristic selection mask over candidates SORTED by distance asc:
+    keep candidate i iff dist(i, query) <= dist(i, j) for every already-kept
+    j (the HNSW select-heuristic). Sequential scan over C candidates; each
+    step is one batched matvec under vmap, so the whole wave's scans run as
+    one fused program."""
+    c = cand_dists.shape[0]
+    min_d = jnp.full((c,), _INF)
+
+    def step(carry, i):
+        sel, min_d = carry
+        keep = valid[i] & (cand_dists[i] <= min_d[i])
+        d_to_i = dist_ops.rowwise_distance(cand_emb[i], cand_emb, metric)
+        min_d = jnp.where(keep, jnp.minimum(min_d, d_to_i), min_d)
+        return (sel.at[i].set(keep), min_d), None
+
+    (sel, _), _ = jax.lax.scan(
+        step, (jnp.zeros((c,), bool), min_d), jnp.arange(c)
+    )
+    return sel
+
+
 def _select_neighbors(
     cand_ids: Array,
     cand_dists: Array,
+    cand_emb: Array,
     degrees: Array,
     m0: int,
     hub_percentile: float,
     high_degree_pruning: bool,
+    diversify: bool,
+    metric: DistanceMetric,
 ) -> tuple[Array, Array]:
     """Single-row neighbor selection (vmapped over the wave).
 
-    Vectorization of leann.rs:761-833: candidates are assigned a composite
-    priority — reserved hubs (by degree desc), then regulars (by distance
-    asc), then leftover hubs — and the m0 smallest priorities win. When fewer
-    than m0 candidates are valid this keeps them all, matching the reference's
-    early return at leann.rs:767-769.
+    Vectorization of leann.rs:761-833 (Algorithm 3) + the RNG diversity
+    heuristic: candidates get a composite priority — reserved hubs (by degree
+    desc), then diversity-passing regulars (by distance asc), then remaining
+    regulars (by distance asc), then leftover hubs — and the m0 smallest
+    priorities win. When fewer than m0 candidates are valid this keeps them
+    all, matching the reference's early return at leann.rs:767-769.
     """
     c = cand_ids.shape[0]
     n = degrees.shape[0]
@@ -110,19 +138,36 @@ def _select_neighbors(
     else:
         is_hub = jnp.zeros_like(valid)
 
-    # Hubs ranked by degree descending; regulars by distance ascending.
-    hub_rank = _rank_of(jnp.where(is_hub, -deg, _IMAX))
-    reg_key = jnp.where(valid & ~is_hub, cand_dists, _INF)
-    reg_rank = _rank_of(reg_key)
+    if diversify:
+        # Sort by distance for the sequential heuristic, then scatter the
+        # mask back to original candidate positions.
+        order = jnp.argsort(jnp.where(valid, cand_dists, _INF))
+        sel_sorted = _diversity_mask(
+            cand_dists[order], cand_emb[order], valid[order], metric
+        )
+        inv = jnp.argsort(order)
+        diverse = sel_sorted[inv]
+    else:
+        diverse = valid
 
-    big = jnp.int32(4 * c)
+    # Hubs ranked by degree descending; regulars by distance ascending with
+    # diversity-passing candidates strictly first.
+    hub_rank = _rank_of(jnp.where(is_hub, -deg, _IMAX))
+    div_rank = _rank_of(jnp.where(valid & ~is_hub & diverse, cand_dists, _INF))
+    rest_rank = _rank_of(jnp.where(valid & ~is_hub & ~diverse, cand_dists, _INF))
+
+    big = jnp.int32(8 * c)
     priority = jnp.where(
         is_hub & (hub_rank < hub_slots),
         hub_rank,
         jnp.where(
-            valid & ~is_hub,
-            hub_slots + reg_rank,
-            jnp.where(is_hub, c + hub_slots + hub_rank, big),
+            valid & ~is_hub & diverse,
+            hub_slots + div_rank,
+            jnp.where(
+                valid & ~is_hub,
+                hub_slots + c + rest_rank,
+                jnp.where(is_hub, hub_slots + 2 * c + hub_rank, big),
+            ),
         ),
     )
     _, sel_pos = jax.lax.top_k(-priority, m0)
@@ -139,10 +184,12 @@ def _repair_rows(
     x_prepped: Array,
     m0: int,
     metric: DistanceMetric,
+    diversify: bool = False,
 ) -> tuple[Array, Array]:
     """Re-prune the neighbor lists of `node_ids` (padded with N for no-ops):
-    dedup, score against the node's own embedding, keep the m0 nearest
-    (reference: prune_neighbors_temp, leann.rs:634-658)."""
+    dedup, score against the node's own embedding, keep the m0 nearest —
+    diversity-passing candidates first when `diversify` (reference:
+    prune_neighbors_temp, leann.rs:634-658 keeps nearest only)."""
     n, bw = neighbors.shape
     safe = jnp.clip(node_ids, 0, n - 1)
     rows = neighbors[safe]  # [R, BW]
@@ -161,6 +208,22 @@ def _repair_rows(
     d_sorted = jnp.take_along_axis(d, order, axis=1)
     ids_sorted = jnp.take_along_axis(sorted_rows, order, axis=1)
     kth_valid = d_sorted < _INF
+
+    if diversify:
+        emb_sorted = jnp.take_along_axis(nbr_emb, order[:, :, None], axis=1)
+        diverse = jax.vmap(
+            functools.partial(_diversity_mask, metric=metric)
+        )(d_sorted, emb_sorted, kth_valid)
+        # Diversity-passing first (already distance-ordered), rest after.
+        prio = jnp.where(
+            diverse & kth_valid, jnp.arange(bw)[None, :],
+            jnp.where(kth_valid, bw + jnp.arange(bw)[None, :], 4 * bw),
+        )
+        reorder = jnp.argsort(prio, axis=1)
+        d_sorted = jnp.take_along_axis(d_sorted, reorder, axis=1)
+        ids_sorted = jnp.take_along_axis(ids_sorted, reorder, axis=1)
+        kth_valid = d_sorted < _INF
+
     new_rows = jnp.where(kth_valid, ids_sorted, SENTINEL).astype(jnp.int32)
     new_rows = new_rows.at[:, m0:].set(SENTINEL)
     new_deg = jnp.sum(kth_valid[:, :m0].astype(jnp.int32), axis=1)
@@ -245,8 +308,10 @@ def wave_body(
             m0=m0,
             hub_percentile=config.hub_percentile,
             high_degree_pruning=config.high_degree_pruning,
+            diversify=config.diversify,
+            metric=metric,
         ),
-        in_axes=(0, 0, None),
+        in_axes=(0, 0, 0, None),
     )
 
     wave_ids = s + jnp.arange(wave, dtype=jnp.int32)
@@ -279,8 +344,10 @@ def wave_body(
     else:
         cand_ids, cand_dists = g_ids, g_dists
 
-    # 3. high-degree-preserving pruning to m0
-    sel_ids, sel_dists = select(cand_ids, cand_dists, degrees)
+    # 3. high-degree-preserving pruning to m0 (+ RNG diversity heuristic,
+    # which needs the candidate embeddings for candidate-candidate distances)
+    cand_emb = x_prepped[jnp.clip(cand_ids, 0, x_prepped.shape[0] - 1)]
+    sel_ids, sel_dists = select(cand_ids, cand_dists, cand_emb, degrees)
     sel_ids = jnp.where(wave_ok[:, None], sel_ids, SENTINEL)
     sel_dists = jnp.where(wave_ok[:, None], sel_dists, _INF)
 
@@ -305,11 +372,11 @@ def wave_body(
     # missed by the cap stay over-degree in the slack and are picked up
     # next wave or by the final sweep.
     neighbors, degrees = _repair_rows(
-        neighbors, degrees, wave_w, x_prepped, m0, metric
+        neighbors, degrees, wave_w, x_prepped, m0, metric, config.diversify
     )
     over = jnp.where(degrees > m0, size=wave, fill_value=n)[0].astype(jnp.int32)
     neighbors, degrees = _repair_rows(
-        neighbors, degrees, over, x_prepped, m0, metric
+        neighbors, degrees, over, x_prepped, m0, metric, config.diversify
     )
     return neighbors, degrees
 
@@ -427,7 +494,7 @@ def build_index(
 
     # --- final sweep: repair any node still over m0, crop slack + padding ---
     neighbors, degrees = _final_sweep(
-        neighbors, degrees, x_padded[:n_pad], m0, config.metric
+        neighbors, degrees, x_padded[:n_pad], m0, config.metric, config.diversify
     )
     neighbors = neighbors[:n, :m0]
     degrees = degrees[:n]
@@ -443,8 +510,8 @@ def build_index(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("m0", "metric"))
-def _final_sweep(neighbors, degrees, x_prepped, m0, metric):
+@functools.partial(jax.jit, static_argnames=("m0", "metric", "diversify"))
+def _final_sweep(neighbors, degrees, x_prepped, m0, metric, diversify=False):
     n = neighbors.shape[0]
     chunk = min(4096, n)
     num_chunks = -(-n // chunk)
@@ -457,6 +524,6 @@ def _final_sweep(neighbors, degrees, x_prepped, m0, metric):
         # (it re-sorts to the same nearest-m0 set); repair the whole chunk.
         needs = degs[jnp.clip(ids, 0, n - 1)] > m0
         ids = jnp.where(needs & (ids < n), ids, n)
-        return _repair_rows(nbrs, degs, ids, x_prepped, m0, metric)
+        return _repair_rows(nbrs, degs, ids, x_prepped, m0, metric, diversify)
 
     return jax.lax.fori_loop(0, num_chunks, body, (neighbors, degrees))

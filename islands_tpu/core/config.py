@@ -70,6 +70,12 @@ class LeannConfig:
     hub_percentile: float = 0.02
     is_compact: bool = True
     is_recompute: bool = True
+    # RNG-heuristic (diversity) neighbor selection: keep a candidate only if
+    # it is closer to the inserted node than to any already-selected neighbor.
+    # The reference's nearest-only selection (leann.rs:761-833) produces
+    # cluster-redundant edges that cripple flat-graph navigation on clustered
+    # corpora; this is the standard HNSW select-heuristic fix.
+    diversify: bool = True
 
     # --- TPU build/search pipeline knobs ---
     wave_size: int = 1024
