@@ -345,6 +345,28 @@ def _table_distance(tables: Array, codes: Array) -> Array:
     return jnp.sqrt(jnp.maximum(jnp.sum(g, axis=-1), 0.0))
 
 
+def pq_scan(
+    pq: ProductQuantizer, queries: Array, codes: Array, metric=None
+) -> Array:
+    """Brute-force ADC scan of ALL codes: queries [B, d] -> distances [B, n]
+    on the exact metric's scale. Runs the Pallas one-hot-matmul kernel on TPU
+    (ops/pallas_kernels.adc_scan) — the PQ-first-stage filter for two-level
+    pipelines and the fast path for small corpora where a full scan beats
+    graph traversal."""
+    from islands_tpu.ops.pallas_kernels import adc_scan
+
+    cb = pq._require_trained()
+    mname = getattr(metric, "value", str(metric)) if metric else "euclidean"
+    q2 = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+    tables = _build_metric_tables(q2, cb.centroids, mname)
+    sums = adc_scan(tables, jnp.asarray(codes))
+    if mname == "cosine":
+        return 1.0 + sums
+    if mname == "euclidean":
+        return jnp.sqrt(jnp.maximum(sums, 0.0))
+    return sums
+
+
 def make_pq_scorer(pq: ProductQuantizer, codes: Array):
     """Approximate scorer over PQ codes for the beam-search hop: the query is
     turned into ADC tables once (per search), then each hop is a pure
