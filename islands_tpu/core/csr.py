@@ -110,6 +110,29 @@ class CsrGraph:
         row = np.asarray(self.neighbors[node_id])
         return row[row != SENTINEL]
 
+    def validate(self) -> None:
+        """Structural invariant checks (the sanitizer role — the reference
+        relies on Rust's type system; here invariants are explicit):
+        ids in range, no self-loops, degrees consistent with sentinel layout,
+        entry point valid. Raises ValueError on violation."""
+        nbrs = np.asarray(self.neighbors)
+        degs = np.asarray(self.degrees)
+        n, md = nbrs.shape
+        if n == 0:
+            return
+        valid_mask = np.arange(md)[None, :] < degs[:, None]
+        vals = nbrs[valid_mask]
+        if vals.size and (vals.min() < 0 or vals.max() >= n):
+            raise ValueError("neighbor id out of range")
+        if np.any(nbrs[~valid_mask] != SENTINEL):
+            raise ValueError("non-sentinel entry beyond row degree")
+        rows, cols = np.nonzero(nbrs == np.arange(n)[:, None])
+        if rows.size:
+            raise ValueError(f"self-loop at node {rows[0]}")
+        ep = int(self.entry_point)
+        if not 0 <= ep < n:
+            raise ValueError(f"entry point {ep} out of range")
+
     def storage_bytes(self) -> int:
         """True CSR storage cost: 4 bytes/edge + offsets + levels
         (reference: leann.rs:295-301, but with int32 not usize/u64)."""
