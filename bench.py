@@ -48,12 +48,15 @@ def main():
     # contrast and measure the data, not the index.
     key = jax.random.PRNGKey(0)
     kc, ka, kn, kq, kqa = jax.random.split(key, 5)
+    # sigma=0.8 vs unit-variance centers: clusters overlap (neighbor sets
+    # straddle clusters), matching real embedding manifolds rather than
+    # either degenerate extreme (uniform random / separated balls).
     n_centers = max(min(4096, N // 64), 1)
     centers = jax.random.normal(kc, (n_centers, DIM), dtype=jnp.float32)
     assign = jax.random.randint(ka, (N,), 0, n_centers)
-    x = centers[assign] + 0.3 * jax.random.normal(kn, (N, DIM), dtype=jnp.float32)
+    x = centers[assign] + 0.8 * jax.random.normal(kn, (N, DIM), dtype=jnp.float32)
     q_assign = jax.random.randint(kqa, (N_QUERIES,), 0, n_centers)
-    queries = centers[q_assign] + 0.3 * jax.random.normal(
+    queries = centers[q_assign] + 0.8 * jax.random.normal(
         kq, (N_QUERIES, DIM), dtype=jnp.float32
     )
     jax.block_until_ready((x, queries))

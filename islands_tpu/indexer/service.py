@@ -547,6 +547,27 @@ class IndexerService:
             return False
         return self.sync_repository(full_name)
 
+    def start_watcher(self, debounce_seconds: float = 2.0):
+        """Filesystem watcher over the repos root: a debounced change to
+        provider/owner/name triggers re-index of that repository (reference:
+        IndexWatcher wiring, src/indexer/watcher.rs:17-124)."""
+        from islands_tpu.indexer.watcher import IndexWatcher
+
+        def on_change(repo_path: str) -> None:
+            full_name = "/".join(repo_path.split("/")[1:3])
+            repo = self.repos.get(full_name)
+            if repo is not None:
+                try:
+                    self.index_repository(repo)
+                except Exception as e:
+                    logger.error("watcher reindex failed for %s: %s", full_name, e)
+
+        watcher = IndexWatcher(
+            self.config.repos_path, on_change, debounce_seconds=debounce_seconds
+        )
+        watcher.start()
+        return watcher
+
     def start_sync_loop(self) -> None:
         """Background interval sync (reference: service.rs:1038-1080)."""
         if self._sync_thread is not None:
