@@ -27,7 +27,6 @@ Temporary embeddings live in HBM only during the build and are dropped after
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

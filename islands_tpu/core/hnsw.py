@@ -205,7 +205,7 @@ class HnswIndex:
             )
             s += wave
         neighbors, degrees = build_mod._final_sweep(
-            neighbors, degrees, x_all, m0, cfg0.metric
+            neighbors, degrees, x_all, m0, cfg0.metric, cfg0.diversify
         )
         self.x = x_all
         self.layer0 = CsrGraph(

@@ -14,21 +14,13 @@ the provider a jittable id->embedding function fused into the loop.
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from islands_tpu.core import build as build_mod
-from islands_tpu.core.config import (
-    DistanceMetric,
-    LeannConfig,
-    PQConfig,
-    PruningStrategy,
-)
-from islands_tpu.core.csr import SENTINEL, CsrGraph
+from islands_tpu.core.config import LeannConfig, PQConfig
+from islands_tpu.core.csr import CsrGraph
 from islands_tpu.core.embedding import (
     EmbeddingProvider,
     InMemoryEmbeddingProvider,

@@ -200,7 +200,7 @@ def build_sharded(
         check_vma=False,
     )
     def sweep(nbrs, degs, xl):
-        nb, dg = _final_sweep(nbrs[0], degs[0], xl[0], m0, config.metric)
+        nb, dg = _final_sweep(nbrs[0], degs[0], xl[0], m0, config.metric, config.diversify)
         return nb[None], dg[None]
 
     neighbors, degrees = jax.jit(sweep)(neighbors, degrees, x_dev)
