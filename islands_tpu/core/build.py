@@ -277,6 +277,7 @@ def wave_body(
     entry: Array,
     x_prepped: Array,
     count: Array | None = None,
+    pq_ctx: tuple | None = None,
     *,
     config: LeannConfig,
     n: int,
@@ -291,6 +292,8 @@ def wave_body(
     padded to at least n + wave rows (see build_index). `count` is the
     logical number of vectors (defaults to the structural size n); shards
     whose corpora are padded pass count < n so padding rows never insert.
+    `pq_ctx` = (centroids, codes) enables PQ-gated candidate search
+    (config.pq_build).
     """
     if count is None:
         count = jnp.int32(n)
@@ -318,16 +321,43 @@ def wave_body(
     q = jax.lax.dynamic_slice(x_prepped, (s, 0), (wave, d))
 
     # 1. candidates from the existing graph
-    search = functools.partial(
-        _search_one,
-        neighbors=neighbors,
-        entry_point=entry,
-        scorer=scorer,
-        ef=efc,
-        expand_width=config.expand_width,
-        max_iters=max_iters,
-    )
-    g_dists, g_ids = jax.vmap(lambda qi: search(qi, x_prepped))(q)
+    if pq_ctx is not None:
+        # PQ-gated search: hops gather 16-byte codes, exact scoring only for
+        # the promoted few per hop (the large-n gather-latency fix).
+        from islands_tpu.core.pq import gated_prep_for, gated_scorer_for
+        from islands_tpu.core.search import _search_one_two_level
+
+        centroids, codes = pq_ctx
+        prep = gated_prep_for(metric)
+        approx = gated_scorer_for(metric)
+        promote = min(config.pq_build_promote, config.expand_width * buffer_width)
+        search2 = functools.partial(
+            _search_one_two_level,
+            neighbors=neighbors,
+            entry_point=entry,
+            exact_scorer=scorer,
+            approx_scorer=approx,
+            ef=efc,
+            aq_width=efc,
+            promote_width=promote,
+            expand_width=config.expand_width,
+            max_iters=max_iters,
+        )
+        tables = prep(centroids, q)
+        g_dists, g_ids, _ = jax.vmap(
+            lambda qi, ti: search2(qi, ti, x_prepped, codes)
+        )(q, tables)
+    else:
+        search = functools.partial(
+            _search_one,
+            neighbors=neighbors,
+            entry_point=entry,
+            scorer=scorer,
+            ef=efc,
+            expand_width=config.expand_width,
+            max_iters=max_iters,
+        )
+        g_dists, g_ids = jax.vmap(lambda qi: search(qi, x_prepped))(q)
 
     # 2. intra-wave brute-force candidates
     if intra_k > 0:
@@ -391,6 +421,7 @@ def wave_step(
     entry: Array,
     x_prepped: Array,
     count: Array | None = None,
+    pq_ctx: tuple | None = None,
     *,
     config: LeannConfig,
     n: int,
@@ -406,7 +437,7 @@ def wave_step(
     pads corpora to power-of-two buckets so executables — and the persistent
     compilation cache — are shared across corpus sizes)."""
     return wave_body(
-        neighbors, degrees, s, entry, x_prepped, count,
+        neighbors, degrees, s, entry, x_prepped, count, pq_ctx,
         config=config, n=n, wave=wave, buffer_width=buffer_width,
         max_iters=max_iters,
     )
@@ -478,12 +509,28 @@ def build_index(
         max_wave = min(config.wave_size, n_pad)
         x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
         count = jnp.int32(n)
+
+        pq_ctx = None
+        if config.pq_build and n >= 4 * 256:
+            # Train on a prefix sample, encode the whole (padded) corpus once;
+            # codes for not-yet-inserted rows are harmless (never neighbors).
+            from islands_tpu.core.config import PQConfig
+            from islands_tpu.core.pq import ProductQuantizer
+
+            pq = ProductQuantizer(PQConfig(
+                num_subquantizers=config.pq_build_subquantizers,
+                training_iterations=15, seed=config.seed,
+            ))
+            pq.train(x_prepped)
+            codes = pq.encode(jnp.pad(x_prepped, ((0, n_pad - n), (0, 0))))
+            pq_ctx = (pq.codebook.centroids, codes)
+
         s = w0
         while s < n:
             wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
             entry = jnp.int32(entries[s])
             neighbors, degrees = wave_step(
-                neighbors, degrees, jnp.int32(s), entry, x_padded, count,
+                neighbors, degrees, jnp.int32(s), entry, x_padded, count, pq_ctx,
                 config=config, n=n_pad, wave=wave, buffer_width=buffer_width,
                 max_iters=max_iters,
             )

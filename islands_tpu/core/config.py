@@ -76,6 +76,16 @@ class LeannConfig:
     # cluster-redundant edges that cripple flat-graph navigation on clustered
     # corpora; this is the standard HNSW select-heuristic fix.
     diversify: bool = True
+    # PQ-gated construction: wave candidate search scores neighbors with
+    # PQ-ADC code gathers (16 B/row) instead of full embedding gathers
+    # (4d B/row) and exact-scores only the promoted few per hop. The hop is
+    # gather-latency bound at large n, so this is the large-corpus build
+    # throughput lever (measured 33 ms -> ~10 ms/hop at n=1M). Candidate
+    # quality is protected by exact rescoring of everything that reaches the
+    # construction pool.
+    pq_build: bool = False
+    pq_build_subquantizers: int = 16
+    pq_build_promote: int = 32
 
     # --- TPU build/search pipeline knobs ---
     wave_size: int = 1024
