@@ -169,10 +169,17 @@ def _select_neighbors(
             ),
         ),
     )
-    _, sel_pos = jax.lax.top_k(-priority, m0)
+    # Candidate width can be below m0 (small ef_construction/intra_wave_k):
+    # clamp the selection and pad the output to m0 (reference keeps all
+    # candidates when count <= max_conn, leann.rs:767-769).
+    kk = min(m0, c)
+    _, sel_pos = jax.lax.top_k(-priority, kk)
     sel_ok = priority[sel_pos] < big
     sel_ids = jnp.where(sel_ok, cand_ids[sel_pos], SENTINEL)
     sel_dists = jnp.where(sel_ok, cand_dists[sel_pos], _INF)
+    if kk < m0:
+        sel_ids = jnp.pad(sel_ids, (0, m0 - kk), constant_values=SENTINEL)
+        sel_dists = jnp.pad(sel_dists, (0, m0 - kk), constant_values=jnp.inf)
     return sel_ids, sel_dists
 
 
@@ -498,12 +505,13 @@ def build_index(
         degrees = degrees.at[:w0].set(k0)
 
     # --- subsequent waves: doubling schedule ---
-    # Wave size is capped at half the already-inserted prefix so no wave is a
-    # large fraction of the graph it searches (big waves early hurt recall —
-    # the wave's nodes can't see each other through the graph), and rounded to
-    # powers of two so only O(log) distinct shapes compile. Pad the corpus by
-    # one wave so the last partial wave's dynamic_slice never clamps (clamping
-    # would misalign queries with their wave ids).
+    # Wave width is the largest power of two <= the inserted prefix (the seed
+    # covers a full wave, so from there waves run at max width immediately;
+    # intra-wave kNN restores the links same-wave nodes need from each
+    # other), rounded to powers of two so only O(log) distinct shapes
+    # compile. Pad the corpus by one wave so the last partial wave's
+    # dynamic_slice never clamps (clamping would misalign queries with their
+    # wave ids).
     if w0 < n:
         max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
         max_wave = min(config.wave_size, n_pad)

@@ -13,7 +13,7 @@ SURVEY.md §7 "hard parts" #4).
 
 from __future__ import annotations
 
-from typing import Callable, Protocol, runtime_checkable
+from typing import Any, Callable, Protocol, runtime_checkable
 
 import jax
 import jax.numpy as jnp

@@ -79,12 +79,20 @@ def _greedy_descend(
 
 
 class HnswLayer:
-    """One layer: compacted node subset with local-id neighbor matrix."""
+    """One layer: compacted node subset with local-id neighbor matrix.
 
-    def __init__(self, ids: np.ndarray, neighbors: Array, g2l: np.ndarray):
-        self.ids = ids  # [n_l] local -> global
+    Device copies of ids/g2l and the gathered layer embeddings are cached at
+    build time so search-time greedy descent is pure compute (no per-query
+    host->device uploads or re-gathers)."""
+
+    def __init__(self, ids: np.ndarray, neighbors: Array, g2l: np.ndarray,
+                 x_local: Array):
+        self.ids = ids  # [n_l] local -> global (host)
         self.neighbors = neighbors  # [n_l, m_l] local ids
-        self.g2l = g2l  # [N] global -> local (SENTINEL if absent)
+        self.g2l = g2l  # [N] global -> local (SENTINEL if absent; host)
+        self.ids_dev = jnp.asarray(ids)
+        self.g2l_dev = jnp.asarray(g2l)
+        self.x_local = x_local  # [n_l, d] prepped layer embeddings
 
 
 class HnswIndex:
@@ -160,9 +168,9 @@ class HnswIndex:
         cfg = self.config.to_leann(lvl)
         if len(ids) <= 1:
             nbrs = jnp.full((max(len(ids), 1), cfg.m0), SENTINEL, dtype=jnp.int32)
-            return HnswLayer(ids, nbrs[: len(ids)], g2l)
+            return HnswLayer(ids, nbrs[: len(ids)], g2l, x_l)
         g = build_mod.build_index(x_l, cfg, levels=np.zeros(len(ids), dtype=np.int32))
-        return HnswLayer(ids, g.neighbors, g2l)
+        return HnswLayer(ids, g.neighbors, g2l, x_l)
 
     def extend(self, new_x) -> "HnswIndex":
         """Batched incremental insert: append vectors and run construction
@@ -197,10 +205,9 @@ class HnswIndex:
         x_padded = jnp.pad(x_all, ((0, wave), (0, 0)))
         s = n_old
         while s < n:
-            w = min(wave, n - s)
-            neighbors, degrees = build_mod.wave_body(
+            neighbors, degrees = build_mod.wave_step(
                 neighbors, degrees, jnp.int32(s), jnp.int32(self.entry_point),
-                x_padded,
+                x_padded, jnp.int32(n),
                 config=cfg0, n=n, wave=wave, buffer_width=bw, max_iters=max_iters,
             )
             s += wave
@@ -208,6 +215,10 @@ class HnswIndex:
             neighbors, degrees, x_all, m0, cfg0.metric, cfg0.diversify
         )
         self.x = x_all
+        # Recompute entry metadata from the merged levels BEFORE constructing
+        # the graph so layer0's entry_point/max_level match its levels.
+        self.max_level = int(self.levels.max())
+        self.entry_point = int(np.argmax(self.levels == self.max_level))
         self.layer0 = CsrGraph(
             neighbors=neighbors[:, :m0],
             degrees=degrees,
@@ -216,8 +227,6 @@ class HnswIndex:
             max_level=jnp.int32(self.max_level),
         )
         # Upper layers: rebuild from scratch (n/m^l nodes — cheap).
-        self.max_level = int(self.levels.max())
-        self.entry_point = int(np.argmax(self.levels == self.max_level))
         self.layers = [
             self._build_layer(
                 np.where(self.levels >= lvl)[0].astype(np.int32), lvl
@@ -255,15 +264,14 @@ class HnswIndex:
         # Greedy descent: global cursor through upper layers.
         cur_global = jnp.full((b,), self.entry_point, dtype=jnp.int32)
         for layer in reversed(self.layers):  # top layer last in list
-            cur_local = jnp.asarray(layer.g2l)[cur_global]
+            cur_local = layer.g2l_dev[cur_global]
             # Entry is guaranteed present in every upper layer on the path
             # (entry_point has max level). Safe-guard anyway.
             cur_local = jnp.maximum(cur_local, 0)
-            x_l = self.x[jnp.asarray(layer.ids)]
             cur_local = _greedy_descend(
-                qp, layer.neighbors, x_l, cur_local, self.config.metric
+                qp, layer.neighbors, layer.x_local, cur_local, self.config.metric
             )
-            cur_global = jnp.asarray(layer.ids)[cur_local]
+            cur_global = layer.ids_dev[cur_local]
 
         # Layer-0 beam with per-query entry points.
         from islands_tpu.core.search import batched_search, default_max_iters, make_stored_scorer

@@ -213,7 +213,7 @@ class ProductQuantizer:
                 f"need at least {cfg.num_centroids} training vectors, got {n}"
             )
         if n > max_train_points:
-            stride = n // max_train_points
+            stride = -(-n // max_train_points)  # ceil: sample the full range
             x = x[:: stride][:max_train_points]
         subs = _split_subspaces(x, cfg.num_subquantizers)
         seed = cfg.seed if cfg.seed is not None else 0
@@ -353,11 +353,14 @@ def pq_scan(
     (ops/pallas_kernels.adc_scan) — the PQ-first-stage filter for two-level
     pipelines and the fast path for small corpora where a full scan beats
     graph traversal."""
+    from islands_tpu.ops import distance as dist_ops
     from islands_tpu.ops.pallas_kernels import adc_scan
 
     cb = pq._require_trained()
     mname = getattr(metric, "value", str(metric)) if metric else "euclidean"
     q2 = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+    if mname == "cosine":  # tables are inner products; cosine needs |q| = 1
+        q2 = dist_ops.normalize(q2)
     tables = _build_metric_tables(q2, cb.centroids, mname)
     sums = adc_scan(tables, jnp.asarray(codes))
     if mname == "cosine":

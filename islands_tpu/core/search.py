@@ -139,8 +139,14 @@ def _prune_mask(
     deg = jnp.where(keep, degrees[jnp.clip(ids, 0, n - 1)], 0)
     total = jnp.maximum(jnp.sum(deg), 1)
     prob = deg.astype(jnp.float32) / total.astype(jnp.float32)
+    # Fold a data-dependent component in so vmapped queries draw independent
+    # uniforms (a static key would prune the same slots for every query).
+    per_query = ids[0]
     u = jax.random.uniform(
-        jax.random.fold_in(jax.random.PRNGKey(seed), it), keep.shape
+        jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), it), per_query
+        ),
+        keep.shape,
     )
     accept = keep & (u < prob * num_to_keep.astype(jnp.float32))
     acc_pos = jnp.cumsum(accept.astype(jnp.int32)) - 1
@@ -334,8 +340,10 @@ def _search_one_two_level(
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
         # AQ distances are on the exact metric's scale (see
         # pq.gated_scorer_for), so "could the best approximate candidate
-        # improve the pool" is a valid cross-queue comparison.
-        aq_work = aq_dists[0] <= worst
+        # improve the pool" is a valid cross-queue comparison. The finite
+        # guard stops the loop when both queues are exhausted (inf <= inf
+        # would otherwise spin to max_iters).
+        aq_work = (aq_dists[0] < _INF) & (aq_dists[0] <= worst)
         return (exact_work | aq_work) & (it < max_iters)
 
     def body(state):

@@ -115,7 +115,7 @@ def build_sharded(
     degrees = jax.device_put(np.zeros((s_count, n_local), dtype=np.int32), shard2)
 
     # --- wave 0: per-shard brute-force kNN init ---
-    w0 = min(n_local, max(2 * m0, 256))
+    w0 = min(n_local, max(2 * m0, min(config.wave_size, 4096)))
     k0 = min(m0, w0 - 1)
 
     @functools.partial(
@@ -152,7 +152,7 @@ def build_sharded(
         step_cache: dict[int, object] = {}
         s = w0
         while s < n_local:
-            wave = min(max_wave, 1 << max(8, (s // 2).bit_length() - 1))
+            wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
             if wave not in step_cache:
                 body = functools.partial(
                     wave_body,
