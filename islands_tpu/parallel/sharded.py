@@ -221,12 +221,17 @@ def build_sharded(
     )
 
 
+#: process-wide executable cache: searchers over the same mesh/metric/params
+#: share compilations regardless of which ShardedIndex instance they serve.
+_ARCHIPELAGO_CACHE: dict[tuple, object] = {}
+
+
 class ArchipelagoSearcher:
     """Mesh-wide search: per-shard beam search + all-gather top-k merge."""
 
     def __init__(self, index: ShardedIndex):
         self.index = index
-        self._cache: dict[tuple, object] = {}
+        self._cache = _ARCHIPELAGO_CACHE
 
     def _make(self, k: int, ef: int, expand_width: int, max_iters: int):
         idx = self.index
@@ -289,9 +294,9 @@ class ArchipelagoSearcher:
         ef = max(ef, k)
         if max_iters is None:
             max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
-        key = (k, ef, expand_width, max_iters)
+        key = (self.index.mesh, self.index.metric, k, ef, expand_width, max_iters)
         if key not in self._cache:
-            self._cache[key] = self._make(*key)
+            self._cache[key] = self._make(k, ef, expand_width, max_iters)
         qp = dist_ops.prep_query(jnp.asarray(queries), self.index.metric)
         return self._cache[key](
             qp,

@@ -130,3 +130,20 @@ def test_high_degree_pruning_creates_hub_skew():
         return top.sum() / max(indeg.sum(), 1)
 
     assert top2_share(g_on) >= 0.8 * top2_share(g_off)
+
+
+def test_small_candidate_width_config_builds():
+    """ef_construction + intra_wave_k < m0 must clamp, not crash
+    (regression: lax.top_k k > array size at trace time)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from islands_tpu.core.build import build_index
+    from islands_tpu.core.config import LeannConfig
+
+    x = np.random.default_rng(3).standard_normal((300, 16)).astype(np.float32)
+    cfg = LeannConfig(m=8, m0=24, ef_construction=12, intra_wave_k=4,
+                      wave_size=64, reverse_slack=8)
+    g = build_index(jnp.asarray(x), cfg)
+    assert g.num_nodes == 300
+    g.validate()
