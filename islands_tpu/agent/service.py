@@ -34,8 +34,11 @@ class IslandsAgent:
         self.history: list[Message] = []
 
     def _context_for(self, question: str) -> str:
+        from islands_tpu.agent.prompt import SNIPPET_LIMIT
+
         results = self.service.search(
-            question, workspace=self.workspace, top_k=CONTEXT_RESULTS
+            question, workspace=self.workspace, top_k=CONTEXT_RESULTS,
+            snippet_chars=SNIPPET_LIMIT,
         )
         return format_search_context(results)
 

@@ -109,12 +109,18 @@ class Config:
             cfg.pq_enabled = bool(raw["pq"]["enabled"])
         return cfg
 
+    #: never serialized by to_yaml (config init must not write secrets from
+    #: the environment into a file users commit)
+    _SECRET_FIELDS = ("openai_api_key",)
+
     def to_yaml(self) -> str:
-        """`config show` / `config init` output (reference: commands.rs:366-390)."""
-        lines = ["# islands-tpu configuration"]
+        """`config show` / `config init` output (reference: commands.rs:366-390).
+        Secrets are omitted — provide them via environment variables."""
+        lines = ["# islands-tpu configuration",
+                 "# (secrets like OPENAI_API_KEY come from the environment)"]
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if v is None:
+            if v is None or f.name in self._SECRET_FIELDS:
                 continue
             if isinstance(v, bool):
                 v = "true" if v else "false"
@@ -127,6 +133,8 @@ class Config:
 
         return IndexerConfig(
             base_path=self.base_path,
+            repos_path_override=self.repos_path,
+            indexes_path_override=self.indexes_path,
             chunk_size=self.chunk_size,
             chunk_overlap=self.chunk_overlap,
             embedding=EmbeddingConfig(

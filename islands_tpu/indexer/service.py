@@ -78,6 +78,9 @@ class EmbeddingConfig:
 @dataclasses.dataclass
 class IndexerConfig:
     base_path: str = ".islands"
+    # explicit location overrides (ISLANDS_REPOS_PATH / ISLANDS_INDEXES_PATH)
+    repos_path_override: str | None = None
+    indexes_path_override: str | None = None
     max_concurrent_syncs: int = 4  # reference: service.rs:195
     sync_interval_secs: int = 300  # reference: service.rs:196
     index_extensions: tuple = DEFAULT_EXTENSIONS
@@ -95,10 +98,14 @@ class IndexerConfig:
 
     @property
     def repos_path(self) -> Path:
+        if self.repos_path_override:
+            return Path(self.repos_path_override)
         return Path(self.base_path) / "repos"
 
     @property
     def indexes_path(self) -> Path:
+        if self.indexes_path_override:
+            return Path(self.indexes_path_override)
         return Path(self.base_path) / "indexes"
 
     @property
@@ -228,11 +235,25 @@ class IndexerService:
                     self.states[st.full_name] = st
             except (json.JSONDecodeError, TypeError):
                 pass
+        # Tracked repositories persist too — sync/webhook/remove must work
+        # across process restarts, not only in the process that added them.
+        repos_file = Path(self.config.base_path) / "repos.json"
+        if repos_file.exists():
+            try:
+                for d in json.loads(repos_file.read_text()):
+                    r = Repository.from_dict(d)
+                    self.repos[r.full_name] = r
+            except (json.JSONDecodeError, TypeError):
+                pass
 
     def _save_states(self) -> None:
         states_file = Path(self.config.base_path) / "states.json"
         states_file.write_text(
             json.dumps([s.to_dict() for s in self.states.values()], indent=1)
+        )
+        repos_file = Path(self.config.base_path) / "repos.json"
+        repos_file.write_text(
+            json.dumps([r.to_dict() for r in self.repos.values()], indent=1)
         )
 
     def _persist_index(self, stored: StoredIndex) -> None:
@@ -242,6 +263,9 @@ class IndexerService:
         (d / "chunks.json").write_text(
             json.dumps([c.to_dict() for c in stored.chunks])
         )
+        # Embedding cache: not part of the index (size_bytes charges only
+        # index.leann) but saves a full corpus re-embed on process restart.
+        np.save(d / "embeddings.npy", np.asarray(stored.provider.embeddings))
         stored.info.size_bytes = nbytes
         (d / "metadata.json").write_text(json.dumps(stored.info.to_dict(), indent=1))
 
@@ -258,7 +282,11 @@ class IndexerService:
             )
         stored.index = load_index(idx_file)
         stored.chunks = [Chunk.from_dict(c) for c in json.loads(chunks_file.read_text())]
-        emb = self.embed_texts([c.text for c in stored.chunks])
+        emb_file = d / "embeddings.npy"
+        if emb_file.exists():
+            emb = np.load(emb_file)
+        else:  # legacy layout: recompute from chunk texts
+            emb = self.embed_texts([c.text for c in stored.chunks])
         stored.provider = InMemoryEmbeddingProvider(emb)
         return stored
 
@@ -366,11 +394,14 @@ class IndexerService:
         workspace: str | None = None,
         top_k: int = 10,
         ef: int | None = None,
+        snippet_chars: int = 200,
     ) -> list[dict]:
         """Embed the query, search each target index, merge by score desc.
 
         Returns dicts {index, path, start_line, end_line, snippet, score}
-        with score = 1 - distance (reference: service.rs:788-814)."""
+        with score = 1 - distance and `snippet_chars`-truncated snippets
+        (reference default 200, service.rs:788-814; the agent requests more
+        context)."""
         with self._lock:
             if workspace is not None:
                 targets = self.get_workspace_index_names(workspace)
@@ -406,7 +437,7 @@ class IndexerService:
                     "path": c.path,
                     "start_line": c.start_line,
                     "end_line": c.end_line,
-                    "snippet": c.text[:200],  # reference: 200-char snippet
+                    "snippet": c.text[:snippet_chars],
                     "score": float(1.0 - d),
                 })
         results.sort(key=lambda r: -r["score"])

@@ -85,6 +85,8 @@ class McpServer:
             raw = json.loads(line)
         except json.JSONDecodeError as e:
             return json.dumps(make_error(None, PARSE_ERROR, f"parse error: {e}"))
+        if not isinstance(raw, dict):
+            return json.dumps(make_error(None, INVALID_REQUEST, "request must be an object"))
         try:
             req = JsonRpcRequest.from_dict(raw)
         except ValueError as e:

@@ -189,21 +189,36 @@ class Repository:
             raise ConfigurationError(f"invalid URL: {url}")
         host, path = body.split("/", 1)
         provider = Repository._host_to_provider(host)
-        return Repository._from_shorthand(provider, path)
+        owner, name = Repository._split_owner_repo(path)
+        repo = Repository.new(provider, owner, name,
+                              f"https://{host}/{owner}/{name}.git")
+        return repo
 
     @staticmethod
     def _host_to_provider(host: str) -> str:
         if host in _HOST_TO_PROVIDER:
             return _HOST_TO_PROVIDER[host]
+        # Self-hosted instances: detect by substring (gitlab.mycorp.io,
+        # git.example.com running gitea/gogs, ...).
+        lower = host.lower()
+        for needle, provider in (
+            ("github", "github"), ("gitlab", "gitlab"),
+            ("bitbucket", "bitbucket"), ("gitea", "gitea"), ("gogs", "gitea"),
+            ("git.", "gitea"),
+        ):
+            if needle in lower:
+                return provider
         raise ConfigurationError(f"unknown provider for host: {host}")
 
     @staticmethod
     def _split_owner_repo(path: str) -> tuple[str, str]:
+        """owner = full namespace (GitLab subgroups keep their path),
+        name = last component."""
         path = path.strip("/").removesuffix(".git")
-        parts = path.split("/")
-        if len(parts) < 2 or not parts[0] or not parts[1]:
+        parts = [p for p in path.split("/") if p]
+        if len(parts) < 2:
             raise ConfigurationError(f"expected owner/repo, got: {path}")
-        return parts[0], parts[1]
+        return "/".join(parts[:-1]), parts[-1]
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -233,6 +248,14 @@ class WebhookEvent:
 
     def is_push(self) -> bool:
         return self.event_type == "push"
+
+
+def ci_header(headers: dict[str, str], key: str) -> str | None:
+    """Case-insensitive header lookup (shared by all providers)."""
+    for k, v in headers.items():
+        if k.lower() == key:
+            return v
+    return None
 
 
 def verify_hmac_signature(
@@ -360,11 +383,14 @@ class GitProvider(ABC):
             return repo.clone_url
         url = repo.clone_url
         if url.startswith("https://"):
-            cred = (
-                f"oauth2:{auth.token}"
-                if self.provider_name == "gitlab"
-                else auth.token
-            )
+            if self.provider_name == "gitlab":
+                cred = f"oauth2:{auth.token}"
+            elif self.provider_name == "bitbucket":
+                # Bitbucket requires the x-token-auth pseudo-user for
+                # access-token clones.
+                cred = f"x-token-auth:{auth.token}"
+            else:
+                cred = auth.token
             return f"https://{cred}@{url.removeprefix('https://')}"
         return url
 

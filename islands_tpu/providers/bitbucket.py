@@ -11,6 +11,7 @@ import json
 from typing import Iterator
 
 from islands_tpu.providers.base import (
+    ci_header as _ci_get,
     GitProvider,
     ProviderConfig,
     Repository,
@@ -110,10 +111,3 @@ class BitbucketProvider(GitProvider):
             description=raw.get("description"),
             is_private=raw.get("is_private", False),
         )
-
-
-def _ci_get(headers: dict[str, str], key: str) -> str | None:
-    for k, v in headers.items():
-        if k.lower() == key:
-            return v
-    return None

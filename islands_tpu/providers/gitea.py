@@ -13,6 +13,7 @@ import json
 from typing import Iterator
 
 from islands_tpu.providers.base import (
+    ci_header as _ci_get,
     ConfigurationError,
     GitProvider,
     ProviderConfig,
@@ -103,10 +104,3 @@ class GiteaProvider(GitProvider):
             description=raw.get("description"),
             is_private=raw.get("private", False),
         )
-
-
-def _ci_get(headers: dict[str, str], key: str) -> str | None:
-    for k, v in headers.items():
-        if k.lower() == key:
-            return v
-    return None

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Iterator
 
 from islands_tpu.providers.base import (
+    ci_header as _ci_get,
     GitProvider,
     ProviderConfig,
     Repository,
@@ -123,10 +124,3 @@ class GitHubProvider(GitProvider):
             is_private=raw.get("private", False),
             topics=raw.get("topics", []),
         )
-
-
-def _ci_get(headers: dict[str, str], key: str) -> str | None:
-    for k, v in headers.items():
-        if k.lower() == key:
-            return v
-    return None

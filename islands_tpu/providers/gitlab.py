@@ -13,6 +13,7 @@ import urllib.parse
 from typing import Iterator
 
 from islands_tpu.providers.base import (
+    ci_header as _ci_get,
     GitProvider,
     ProviderConfig,
     Repository,
@@ -91,7 +92,8 @@ class GitLabProvider(GitProvider):
     @staticmethod
     def _repo_from_api(raw: dict) -> Repository:
         full = raw.get("path_with_namespace", "/")
-        owner, _, name = full.partition("/")
+        # rpartition: subgroup namespaces keep their full path as the owner
+        owner, _, name = full.rpartition("/")
         return Repository(
             provider="gitlab",
             owner=owner,
@@ -103,10 +105,3 @@ class GitLabProvider(GitProvider):
             is_private=raw.get("visibility") == "private",
             topics=raw.get("topics", []),
         )
-
-
-def _ci_get(headers: dict[str, str], key: str) -> str | None:
-    for k, v in headers.items():
-        if k.lower() == key:
-            return v
-    return None

@@ -320,3 +320,39 @@ class TestWatcher:
         w._mtimes = w._scan()
         (root / "gh/o/r/.git/HEAD").write_text("ref: y\n")
         assert w.poll_once() == []
+
+
+class TestReviewRegressions:
+    def test_repos_persist_across_restart(self, svc, origin):
+        repo = Repository.new("local", "owner", "sample", str(origin))
+        svc.manager.clone_repository(repo)
+        svc.index_repository(repo)
+        # New process (fresh service): sync must still know the repo.
+        svc2 = IndexerService(IndexerConfig(base_path=svc.config.base_path))
+        assert "owner/sample" in svc2.repos
+        assert svc2.sync_repository("owner/sample") in (True, False)  # no raise
+
+    def test_reload_uses_embedding_cache(self, svc, tmp_path):
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        d = Path(svc.config.base_path) / "indexes" / "proj"
+        assert (d / "embeddings.npy").exists()
+        svc2 = IndexerService(IndexerConfig(base_path=svc.config.base_path))
+        calls = []
+        orig = svc2.embed_texts
+        svc2.embed_texts = lambda texts: (calls.append(len(texts)), orig(texts))[1]
+        hits = svc2.search("hello world", top_k=3)
+        assert hits
+        # only the query embedding happened; chunks came from the cache
+        assert calls == [1]
+
+    def test_path_overrides(self, tmp_path):
+        cfg = IndexerConfig(
+            base_path=str(tmp_path / "base"),
+            repos_path_override=str(tmp_path / "elsewhere_repos"),
+            indexes_path_override=str(tmp_path / "elsewhere_idx"),
+        )
+        svc = IndexerService(cfg)
+        assert (tmp_path / "elsewhere_repos").exists()
+        assert (tmp_path / "elsewhere_idx").exists()

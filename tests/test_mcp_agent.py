@@ -221,3 +221,27 @@ class TestAgent:
 
         with pytest.raises(LlmError):
             OpenAiProvider(LlmConfig(api_key=None))
+
+
+class TestReviewRegressions:
+    def test_non_object_json_returns_invalid_request(self, server):
+        out = server.handle_line("[1, 2, 3]")
+        resp = json.loads(out)
+        assert resp["error"]["code"] == -32600
+
+    def test_agent_gets_full_snippets(self, svc):
+        """The agent requests SNIPPET_LIMIT-char snippets, not the 200-char
+        CLI default."""
+        from islands_tpu.agent.prompt import SNIPPET_LIMIT
+
+        seen = {}
+        orig = svc.search
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return orig(*a, **kw)
+
+        svc.search = spy
+        agent = IslandsAgent(svc, MockLlmProvider())
+        agent.ask("anything")
+        assert seen.get("snippet_chars") == SNIPPET_LIMIT

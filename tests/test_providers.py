@@ -242,3 +242,22 @@ class TestRateLimiter:
         rl.try_acquire()
         with pytest.raises(RateLimitExceeded):
             rl.check_and_wait(timeout=0.05)
+
+
+class TestReviewRegressions:
+    def test_gitlab_subgroups(self):
+        r = Repository.from_url("https://gitlab.com/group/subgroup/project")
+        assert (r.owner, r.name) == ("group/subgroup", "project")
+        assert r.clone_url == "https://gitlab.com/group/subgroup/project.git"
+
+    def test_self_hosted_hosts_detected(self):
+        r = Repository.from_url("https://gitlab.mycorp.io/team/app")
+        assert r.provider == "gitlab"
+        assert r.clone_url == "https://gitlab.mycorp.io/team/app.git"
+        r2 = Repository.from_url("https://gitea.example.org/o/r")
+        assert r2.provider == "gitea"
+
+    def test_bitbucket_token_userinfo(self):
+        p = BitbucketProvider(ProviderConfig(auth=ProviderAuth.from_token("t")))
+        repo = Repository.new("bitbucket", "o", "r", "https://bitbucket.org/o/r.git")
+        assert p.get_clone_url(repo) == "https://x-token-auth:t@bitbucket.org/o/r.git"
