@@ -26,9 +26,47 @@ REF_QPS = 1000.0  # estimated reference single-thread QPS (see module docstring)
 REF_BUILD_VPS = 3000.0  # estimated reference build throughput, vectors/s
 
 
-def main():
+def make_bench_corpus(n, dim, n_queries):
+    """The bench workload: overlapping Gaussian-mixture corpus + queries.
+
+    Clustered synthetic data because the BASELINE workload is code-chunk
+    embeddings, which live on a low-dimensional manifold — uniform-random
+    vectors at 1M x 128d have near-degenerate neighbor contrast and measure
+    the data, not the index. sigma=0.8 vs unit-variance centers: clusters
+    overlap (neighbor sets straddle clusters), matching real embedding
+    manifolds rather than either degenerate extreme (uniform random /
+    separated balls). Shared with bench_baseline.py so the native baseline
+    is measured on the identical workload.
+    """
     import jax
     import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    kc, ka, kn, kq, kqa = jax.random.split(key, 5)
+    n_centers = max(min(4096, n // 64), 1)
+    centers = jax.random.normal(kc, (n_centers, dim), dtype=jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, n_centers)
+    x = centers[assign] + 0.8 * jax.random.normal(kn, (n, dim), dtype=jnp.float32)
+    q_assign = jax.random.randint(kqa, (n_queries,), 0, n_centers)
+    queries = centers[q_assign] + 0.8 * jax.random.normal(
+        kq, (n_queries, dim), dtype=jnp.float32
+    )
+    jax.block_until_ready((x, queries))
+    return x, queries
+
+
+def load_measured_baseline():
+    """Measured native-baseline numbers (bench_baseline.py), if present."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "BASELINE_MEASURED.json"
+    if p.exists():
+        return json.loads(p.read_text())
+    return None
+
+
+def main():
+    import jax
 
     from islands_tpu.utils.cache import enable_persistent_cache
 
@@ -39,31 +77,17 @@ def main():
     from islands_tpu.core.search import StoredSearcher
     from islands_tpu.ops import distance as dist_ops
 
+    from islands_tpu.core.build import build_index_with_sketch
+
     metric = DistanceMetric.EUCLIDEAN
     cfg = LeannConfig(metric=metric, wave_size=4096)  # paper graph params
 
-    # Clustered synthetic corpus (Gaussian mixture): the BASELINE workload is
-    # code-chunk embeddings, which live on a low-dimensional manifold —
-    # uniform-random vectors at 1M x 128d have near-degenerate neighbor
-    # contrast and measure the data, not the index.
-    key = jax.random.PRNGKey(0)
-    kc, ka, kn, kq, kqa = jax.random.split(key, 5)
-    # sigma=0.8 vs unit-variance centers: clusters overlap (neighbor sets
-    # straddle clusters), matching real embedding manifolds rather than
-    # either degenerate extreme (uniform random / separated balls).
-    n_centers = max(min(4096, N // 64), 1)
-    centers = jax.random.normal(kc, (n_centers, DIM), dtype=jnp.float32)
-    assign = jax.random.randint(ka, (N,), 0, n_centers)
-    x = centers[assign] + 0.8 * jax.random.normal(kn, (N, DIM), dtype=jnp.float32)
-    q_assign = jax.random.randint(kqa, (N_QUERIES,), 0, n_centers)
-    queries = centers[q_assign] + 0.8 * jax.random.normal(
-        kq, (N_QUERIES, DIM), dtype=jnp.float32
-    )
-    jax.block_until_ready((x, queries))
+    x, queries = make_bench_corpus(N, DIM, N_QUERIES)
 
-    # --- build ---
+    # --- build (sketch-gated wave pipeline; the sketch is reused at query
+    # time for the gated search, so its cost is charged to the build) ---
     t0 = time.perf_counter()
-    graph = build_index(x, cfg)
+    graph, sketch = build_index_with_sketch(x, cfg)
     jax.block_until_ready(graph.neighbors)
     build_s = time.perf_counter() - t0
     build_vps = N / build_s
@@ -72,13 +96,14 @@ def main():
     _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=262144)
     true_ids = np.asarray(true_ids)
 
-    searcher = StoredSearcher(graph, x, metric)
+    searcher = StoredSearcher(graph, x, metric, sketch=sketch)
 
-    def run(ef, expand):
+    def run(ef, gate):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
-                queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=expand
+                queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
+                gate=gate,
             )
             ids_all.append(np.asarray(ids))
         return np.concatenate(ids_all)
@@ -91,28 +116,46 @@ def main():
             ])
         )
 
-    # Smallest ef reaching target recall, then time it.
-    chosen = None
-    for ef in (32, 48, 64, 96, 128, 192, 256):
-        r = recall_of(run(ef, 4))
-        if r >= TARGET_RECALL:
-            chosen = (ef, r)
-            break
-    if chosen is None:
-        chosen = (256, r)
-    ef, rec = chosen
+    def timed(ef, gate, reps=5):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for s in range(0, N_QUERIES, QUERY_BATCH):
+                d, i = searcher.search(
+                    queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
+                    gate=gate,
+                )
+            jax.block_until_ready((d, i))
+        return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    # Timed runs (post-warmup; compile already amortized by the recall scan).
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        for s in range(0, N_QUERIES, QUERY_BATCH):
-            d, i = searcher.search(
-                queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4
-            )
-        jax.block_until_ready((d, i))
-    dt = (time.perf_counter() - t0) / reps
-    qps = N_QUERIES / dt
+    # Per gate: smallest ef reaching target recall; report the faster gate.
+    best = None
+    for gate in ("sketch", "exact"):
+        chosen = None
+        for ef in (32, 48, 64, 96, 128, 192, 256):
+            r = recall_of(run(ef, gate))
+            if r >= TARGET_RECALL:
+                chosen = (ef, r)
+                break
+        if chosen is None:
+            continue
+        ef, rec = chosen
+        qps = timed(ef, gate)
+        if best is None or qps > best[0]:
+            best = (qps, gate, ef, rec)
+    if best is None:  # neither gate reached target recall: report exact@256
+        rec = recall_of(run(256, "exact"))
+        best = (timed(256, "exact"), "exact", 256, rec)
+    qps, gate, ef, rec = best
+
+    measured = load_measured_baseline()
+    ref_qps = measured["ref_qps"] if measured else REF_QPS
+    ref_build_vps = measured["ref_build_vps"] if measured else REF_BUILD_VPS
+
+    bytes_per_vec = graph.storage_bytes() / N
+    if sketch is not None:
+        # On-disk sketch cost: per-node packed sketch + projection + scale
+        # (inline neighbor blocks are derived at load time).
+        bytes_per_vec += (4 * sketch.node_sketch.size + 4 * sketch.w.size + 4) / N
 
     print(
         json.dumps(
@@ -120,13 +163,15 @@ def main():
                 "metric": f"qps_at_recall10>={TARGET_RECALL}_{N}x{DIM}",
                 "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(qps / REF_QPS, 2),
+                "vs_baseline": round(qps / ref_qps, 2),
                 "recall_at_10": round(rec, 4),
                 "ef": ef,
+                "gate": gate,
                 "build_seconds": round(build_s, 2),
                 "build_vectors_per_s": round(build_vps, 1),
-                "build_vs_baseline": round(build_vps / REF_BUILD_VPS, 2),
-                "index_bytes_per_vector": round(graph.storage_bytes() / N, 2),
+                "build_vs_baseline": round(build_vps / ref_build_vps, 2),
+                "index_bytes_per_vector": round(bytes_per_vec, 2),
+                "baseline_source": "measured" if measured else "estimated",
                 "n": N,
                 "dim": DIM,
             }

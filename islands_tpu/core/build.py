@@ -20,6 +20,20 @@ Wave insertion changes insertion order vs the sequential reference, so graphs
 are not structurally identical — recall parity (tests/test_build.py) is the
 correctness criterion, per SURVEY.md §7 "hard parts".
 
+Hot-path design (round-2): the candidate search is SKETCH-GATED by default
+(`config.sketch_build`). Round-1 profiling showed the per-hop cost is bound
+by the COUNT of HBM row gathers (~10 ns/row on v5e regardless of row size):
+scoring `expand_width * BW` scattered embedding rows per query per hop cost
+33 ms/hop at n=1M. The fix is the inline-neighbor-sketch layout
+(ops/proj.py): each node's row carries its neighbors' quantized projection
+sketches, so a hop fetches `expand_width` contiguous blocks (~25x cheaper
+per neighbor, measured) and ranks them with VPU math; the wave's final
+candidate pool is exact-rescored once. Reverse-edge updates to both the id
+matrix and the sketch matrix ride single-axis flat element scatters
+(4.9 ns/element measured vs 130 ns for the 2-axis form). Per-query routing
+entry points (route_entries) replace the single global entry, cutting
+hops/wave on clustered corpora.
+
 Temporary embeddings live in HBM only during the build and are dropped after
 (the LEANN storage contract: only the graph is kept, leann.rs:556-631).
 """
@@ -34,8 +48,14 @@ import numpy as np
 
 from islands_tpu.core.config import DistanceMetric, LeannConfig
 from islands_tpu.core.csr import SENTINEL, CsrGraph
-from islands_tpu.core.search import _search_one, make_stored_scorer
+from islands_tpu.core.search import (
+    _search_one,
+    _search_one_sketch,
+    make_stored_scorer,
+    route_entries,
+)
 from islands_tpu.ops import distance as dist_ops
+from islands_tpu.ops import proj as proj_ops
 
 Array = jax.Array
 _INF = jnp.float32(jnp.inf)
@@ -78,25 +98,23 @@ def _rank_of(keys: Array) -> Array:
 def _diversity_mask(
     cand_dists: Array, cand_emb: Array, valid: Array, metric: DistanceMetric
 ) -> Array:
-    """RNG-heuristic selection mask over candidates SORTED by distance asc:
-    keep candidate i iff dist(i, query) <= dist(i, j) for every already-kept
-    j (the HNSW select-heuristic). Sequential scan over C candidates; each
-    step is one batched matvec under vmap, so the whole wave's scans run as
-    one fused program."""
-    c = cand_dists.shape[0]
-    min_d = jnp.full((c,), _INF)
+    """Strict-RNG selection mask: reject candidate i iff some valid j that is
+    strictly closer to the query also sits closer to i than the query does
+    (d(i, j) < d(i, q)). Order-free vectorization of the HNSW
+    select-heuristic: one [C, C] pairwise matmul + a masked reduction, fully
+    parallel — round 1's sequential C-step scan of the exact heuristic cost
+    ~0.4 s/wave in kernel-launch-bound micro-matmuls and dominated the build.
 
-    def step(carry, i):
-        sel, min_d = carry
-        keep = valid[i] & (cand_dists[i] <= min_d[i])
-        d_to_i = dist_ops.rowwise_distance(cand_emb[i], cand_emb, metric)
-        min_d = jnp.where(keep, jnp.minimum(min_d, d_to_i), min_d)
-        return (sel.at[i].set(keep), min_d), None
-
-    (sel, _), _ = jax.lax.scan(
-        step, (jnp.zeros((c,), bool), min_d), jnp.arange(c)
-    )
-    return sel
+    Slightly more aggressive than the sequential heuristic (it also tests
+    against closer candidates that were themselves rejected); selection only
+    uses the mask to PRIORITIZE — remaining slots are still filled
+    nearest-first — so the difference shifts priorities rather than dropping
+    candidates, and recall oracles gate the change (tests/test_build.py).
+    """
+    d_cc = dist_ops.pairwise_distance(cand_emb, cand_emb, metric)
+    closer = (cand_dists[None, :] < cand_dists[:, None]) & valid[None, :]
+    dominated = jnp.any(closer & (d_cc < cand_dists[:, None]), axis=1)
+    return valid & ~dominated
 
 
 def _select_neighbors(
@@ -138,14 +156,7 @@ def _select_neighbors(
         is_hub = jnp.zeros_like(valid)
 
     if diversify:
-        # Sort by distance for the sequential heuristic, then scatter the
-        # mask back to original candidate positions.
-        order = jnp.argsort(jnp.where(valid, cand_dists, _INF))
-        sel_sorted = _diversity_mask(
-            cand_dists[order], cand_emb[order], valid[order], metric
-        )
-        inv = jnp.argsort(order)
-        diverse = sel_sorted[inv]
+        diverse = _diversity_mask(cand_dists, cand_emb, valid, metric)
     else:
         diverse = valid
 
@@ -191,11 +202,19 @@ def _repair_rows(
     m0: int,
     metric: DistanceMetric,
     diversify: bool = False,
-) -> tuple[Array, Array]:
+    nbr_sketch: Array | None = None,
+    w: Array | None = None,
+    scale: Array | None = None,
+) -> tuple[Array, Array, Array | None]:
     """Re-prune the neighbor lists of `node_ids` (padded with N for no-ops):
     dedup, score against the node's own embedding, keep the m0 nearest —
     diversity-passing candidates first when `diversify` (reference:
-    prune_neighbors_temp, leann.rs:634-658 keeps nearest only)."""
+    prune_neighbors_temp, leann.rs:634-658 keeps nearest only).
+
+    When `nbr_sketch` is given, the rewritten rows' inline sketches are
+    recomputed from the already-gathered embeddings (a matmul, not another
+    gather pass) and written back row-aligned.
+    """
     n, bw = neighbors.shape
     safe = jnp.clip(node_ids, 0, n - 1)
     rows = neighbors[safe]  # [R, BW]
@@ -213,10 +232,10 @@ def _repair_rows(
     order = jnp.argsort(d, axis=1)
     d_sorted = jnp.take_along_axis(d, order, axis=1)
     ids_sorted = jnp.take_along_axis(sorted_rows, order, axis=1)
+    emb_sorted = jnp.take_along_axis(nbr_emb, order[:, :, None], axis=1)
     kth_valid = d_sorted < _INF
 
     if diversify:
-        emb_sorted = jnp.take_along_axis(nbr_emb, order[:, :, None], axis=1)
         diverse = jax.vmap(
             functools.partial(_diversity_mask, metric=metric)
         )(d_sorted, emb_sorted, kth_valid)
@@ -228,15 +247,25 @@ def _repair_rows(
         reorder = jnp.argsort(prio, axis=1)
         d_sorted = jnp.take_along_axis(d_sorted, reorder, axis=1)
         ids_sorted = jnp.take_along_axis(ids_sorted, reorder, axis=1)
+        emb_sorted = jnp.take_along_axis(emb_sorted, reorder[:, :, None], axis=1)
         kth_valid = d_sorted < _INF
 
-    new_rows = jnp.where(kth_valid, ids_sorted, SENTINEL).astype(jnp.int32)
-    new_rows = new_rows.at[:, m0:].set(SENTINEL)
-    new_deg = jnp.sum(kth_valid[:, :m0].astype(jnp.int32), axis=1)
+    slot_live = kth_valid & (jnp.arange(bw)[None, :] < m0)
+    new_rows = jnp.where(slot_live, ids_sorted, SENTINEL).astype(jnp.int32)
+    new_deg = jnp.sum(slot_live.astype(jnp.int32), axis=1)
 
     neighbors = neighbors.at[node_ids].set(new_rows, mode="drop")
     degrees = degrees.at[node_ids].set(new_deg, mode="drop")
-    return neighbors, degrees
+
+    if nbr_sketch is not None:
+        sk = proj_ops.quantize_pack(
+            jnp.einsum("rbd,dp->rbp", emb_sorted, w,
+                       preferred_element_type=jnp.float32),
+            scale,
+        )
+        sk = jnp.where(slot_live[:, :, None], sk, 0)
+        nbr_sketch = nbr_sketch.at[node_ids].set(sk, mode="drop")
+    return neighbors, degrees, nbr_sketch
 
 
 def _scatter_reverse_edges(
@@ -246,13 +275,20 @@ def _scatter_reverse_edges(
     sel_dists: Array,
     src_ids: Array,
     edge_valid: Array,
-) -> tuple[Array, Array]:
+    nbr_sketch: Array | None = None,
+    node_sketch: Array | None = None,
+) -> tuple[Array, Array, Array | None]:
     """Append src -> slot in each selected neighbor's list.
 
     Fixed-shape equivalent of the reference's per-edge `adjacency[nid].push`
     (leann.rs:593-607): edges are sorted by (dst, dist) so when a node's slack
     fills up within a wave the *nearest* incoming sources win slots; dropped
     ones would have been pruned by the repair pass anyway.
+
+    All writes go through single-axis scatters on flattened views (measured
+    4.9 ns/element vs 130 ns for the equivalent 2-axis scatter). With
+    `nbr_sketch`, each inserted edge also writes the source node's packed
+    sketch words into the destination row's matching slot.
     """
     n, bw = neighbors.shape
     dst = jnp.where(edge_valid, sel_ids, n).reshape(-1)
@@ -272,19 +308,36 @@ def _scatter_reverse_edges(
     slot = base + pos
     ok = (dst_s < n) & (slot < bw)
     dst_w = jnp.where(ok, dst_s, n)  # out-of-bounds -> dropped
-    neighbors = neighbors.at[dst_w, jnp.clip(slot, 0, bw - 1)].set(src_s, mode="drop")
+    slot_c = jnp.clip(slot, 0, bw - 1)
+    flat_idx = jnp.where(ok, dst_w * bw + slot_c, n * bw)
+    neighbors = (
+        neighbors.reshape(-1).at[flat_idx].set(src_s, mode="drop").reshape(n, bw)
+    )
     degrees = degrees.at[dst_w].add(ok.astype(jnp.int32), mode="drop")
-    return neighbors, degrees
+
+    if nbr_sketch is not None:
+        p4 = nbr_sketch.shape[-1]
+        src_sk = node_sketch[jnp.clip(src_s, 0, node_sketch.shape[0] - 1)]  # [E, P4]
+        word_idx = flat_idx[:, None] * p4 + jnp.arange(p4, dtype=jnp.int32)[None, :]
+        word_idx = jnp.where(ok[:, None], word_idx, n * bw * p4)
+        nbr_sketch = (
+            nbr_sketch.reshape(-1)
+            .at[word_idx.reshape(-1)]
+            .set(src_sk.reshape(-1), mode="drop")
+            .reshape(n, bw, p4)
+        )
+    return neighbors, degrees, nbr_sketch
 
 
 def wave_body(
     neighbors: Array,
     degrees: Array,
+    nbr_sketch: Array | None,
     s: Array,
     entry: Array,
     x_prepped: Array,
     count: Array | None = None,
-    pq_ctx: tuple | None = None,
+    sketch_ctx: tuple | None = None,
     *,
     config: LeannConfig,
     n: int,
@@ -299,8 +352,17 @@ def wave_body(
     padded to at least n + wave rows (see build_index). `count` is the
     logical number of vectors (defaults to the structural size n); shards
     whose corpora are padded pass count < n so padding rows never insert.
-    `pq_ctx` = (centroids, codes) enables PQ-gated candidate search
-    (config.pq_build).
+
+    `nbr_sketch` [n, BW, P/4] (or None) is sketch graph state updated
+    alongside `neighbors` and returned; it is a separate leading argument so
+    wave_step can DONATE it (at 1M nodes the array is ~2 GB — without
+    donation XLA must keep the input alive across the wave's whole
+    scatter/repair chain and peak memory multiplies past HBM).
+    `sketch_ctx` = (node_sketch, node_proj_q, routing_ids, w, scale) holds
+    the read-only sketch inputs: `node_sketch` [>=n+wave, P/4] packed
+    per-node sketches; `node_proj_q` [>=n+wave, P] scale-premultiplied f32
+    sketches (the query side); `routing_ids` [R] candidate entry points
+    sampled from the inserted prefix.
     """
     if count is None:
         count = jnp.int32(n)
@@ -327,33 +389,35 @@ def wave_body(
     wave_ok = wave_ids < count
     q = jax.lax.dynamic_slice(x_prepped, (s, 0), (wave, d))
 
-    # 1. candidates from the existing graph
-    if pq_ctx is not None:
-        # PQ-gated search: hops gather 16-byte codes, exact scoring only for
-        # the promoted few per hop (the large-n gather-latency fix).
-        from islands_tpu.core.pq import gated_prep_for, gated_scorer_for
-        from islands_tpu.core.search import _search_one_two_level
+    sketch = sketch_ctx if nbr_sketch is not None else None
+    if sketch is not None:
+        node_sketch, node_proj_q, routing_ids, w, scale = sketch
 
-        centroids, codes = pq_ctx
-        prep = gated_prep_for(metric)
-        approx = gated_scorer_for(metric)
-        promote = min(config.pq_build_promote, config.expand_width * buffer_width)
-        search2 = functools.partial(
-            _search_one_two_level,
+    # 1. candidates from the existing graph
+    if sketch is not None:
+        # Sketch-gated search: hops fetch inline neighbor-sketch blocks and
+        # rank on the VPU; the pooled candidates are exact-rescored once
+        # below (the count-bound-gather fix, see module docstring).
+        pdims = node_proj_q.shape[1]
+        qs = jax.lax.dynamic_slice(node_proj_q, (s, 0), (wave, pdims))
+        entries_q = route_entries(qs, routing_ids, node_sketch, metric)
+        search_sk = functools.partial(
+            _search_one_sketch,
             neighbors=neighbors,
-            entry_point=entry,
-            exact_scorer=scorer,
-            approx_scorer=approx,
+            nbr_sketch=nbr_sketch,
+            node_sketch=node_sketch,
+            metric=metric,
             ef=efc,
-            aq_width=efc,
-            promote_width=promote,
             expand_width=config.expand_width,
             max_iters=max_iters,
         )
-        tables = prep(centroids, q)
-        g_dists, g_ids, _ = jax.vmap(
-            lambda qi, ti: search2(qi, ti, x_prepped, codes)
-        )(q, tables)
+        _, pool_ids = jax.vmap(
+            lambda qi, ei: search_sk(qi, entry_point=ei)
+        )(qs, entries_q)
+        rows = x_prepped[jnp.clip(pool_ids, 0, x_prepped.shape[0] - 1)]
+        g_dists = dist_ops.rows_distance(q, rows, metric)
+        g_dists = jnp.where(pool_ids >= 0, g_dists, _INF)
+        g_ids = pool_ids
     else:
         search = functools.partial(
             _search_one,
@@ -395,40 +459,58 @@ def wave_body(
     degrees = degrees.at[wave_w].set(
         jnp.sum((sel_ids != SENTINEL).astype(jnp.int32), axis=1), mode="drop"
     )
+    if nbr_sketch is not None:
+        fwd_sk = node_sketch[jnp.clip(sel_ids, 0, node_sketch.shape[0] - 1)]
+        fwd_sk = jnp.where((sel_ids != SENTINEL)[:, :, None], fwd_sk, 0)
+        p4 = nbr_sketch.shape[-1]
+        fwd_sk_full = jnp.zeros((wave, buffer_width, p4), dtype=jnp.int32)
+        fwd_sk_full = fwd_sk_full.at[:, :m0, :].set(fwd_sk)
+        nbr_sketch = nbr_sketch.at[wave_w].set(fwd_sk_full, mode="drop")
 
     # 4b. reverse edges
     src = jnp.broadcast_to(wave_ids[:, None], (wave, m0))
     edge_valid = (sel_ids != SENTINEL) & wave_ok[:, None]
-    neighbors, degrees = _scatter_reverse_edges(
-        neighbors, degrees, sel_ids, sel_dists, src, edge_valid
+    neighbors, degrees, nbr_sketch = _scatter_reverse_edges(
+        neighbors, degrees, sel_ids, sel_dists, src, edge_valid,
+        nbr_sketch, node_sketch if sketch is not None else None,
     )
 
     # 5. repair: all wave nodes (dedup mutual intra-wave edges + prune),
     # then up to `wave` previously-inserted nodes now over m0. Nodes
     # missed by the cap stay over-degree in the slack and are picked up
     # next wave or by the final sweep.
-    neighbors, degrees = _repair_rows(
-        neighbors, degrees, wave_w, x_prepped, m0, metric, config.diversify
+    repair_kw = (
+        dict(nbr_sketch=nbr_sketch, w=w, scale=scale)
+        if sketch is not None
+        else dict(nbr_sketch=None, w=None, scale=None)
     )
+    neighbors, degrees, nbr_sketch = _repair_rows(
+        neighbors, degrees, wave_w, x_prepped, m0, metric, config.diversify,
+        **repair_kw,
+    )
+    repair_kw["nbr_sketch"] = nbr_sketch
     over = jnp.where(degrees > m0, size=wave, fill_value=n)[0].astype(jnp.int32)
-    neighbors, degrees = _repair_rows(
-        neighbors, degrees, over, x_prepped, m0, metric, config.diversify
+    neighbors, degrees, nbr_sketch = _repair_rows(
+        neighbors, degrees, over, x_prepped, m0, metric, config.diversify,
+        **repair_kw,
     )
-    return neighbors, degrees
+    return neighbors, degrees, nbr_sketch
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "n", "wave", "buffer_width", "max_iters"),
+    donate_argnums=(0, 1, 2),
 )
 def wave_step(
     neighbors: Array,
     degrees: Array,
+    nbr_sketch: Array | None,
     s: Array,
     entry: Array,
     x_prepped: Array,
     count: Array | None = None,
-    pq_ctx: tuple | None = None,
+    sketch_ctx: tuple | None = None,
     *,
     config: LeannConfig,
     n: int,
@@ -442,9 +524,14 @@ def wave_step(
     recompile per corpus (SURVEY.md §7; measured 75s/compile before). `n` is
     the padded structural size; `count` the logical corpus size (build_index
     pads corpora to power-of-two buckets so executables — and the persistent
-    compilation cache — are shared across corpus sizes)."""
+    compilation cache — are shared across corpus sizes).
+
+    The graph-state arguments (neighbors/degrees/nbr_sketch) are DONATED:
+    each wave consumes the previous wave's buffers in place, which bounds
+    peak HBM at ~one working copy of the ~2.5 GB graph state instead of one
+    live version per in-wave update (the 1M build OOMed without this)."""
     return wave_body(
-        neighbors, degrees, s, entry, x_prepped, count, pq_ctx,
+        neighbors, degrees, nbr_sketch, s, entry, x_prepped, count, sketch_ctx,
         config=config, n=n, wave=wave, buffer_width=buffer_width,
         max_iters=max_iters,
     )
@@ -468,11 +555,24 @@ def build_index(
     Returns a CsrGraph with max_degree == config.m0. The embeddings are used
     only during construction (LEANN's storage contract).
     """
+    graph, _ = build_index_with_sketch(x, config, levels, want_sketch=False)
+    return graph
+
+
+def build_index_with_sketch(
+    x: Array,
+    config: LeannConfig | None = None,
+    levels: np.ndarray | None = None,
+    want_sketch: bool = True,
+) -> tuple[CsrGraph, "proj_ops.SketchIndex | None"]:
+    """Build the graph and (optionally) return the SketchIndex maintained
+    during construction, cropped row-aligned with the final graph — searchers
+    reuse it for sketch-gated query search without a rebuild pass."""
     config = config or LeannConfig()
     config.validate()
     n = int(x.shape[0])
     if n == 0:
-        return CsrGraph.empty(0, config.m0)
+        return CsrGraph.empty(0, config.m0), None
 
     if levels is None:
         levels = sample_levels(n, config.ml, config.max_layers, config.seed)
@@ -486,9 +586,33 @@ def build_index(
     # executables are shared across corpus sizes (and across processes via
     # the persistent compilation cache). Rows >= n never insert (count mask).
     n_pad = _bucket_size(n)
+    max_wave = min(config.wave_size, n_pad)
 
+    dim = x_prepped.shape[1]
+    use_sketch = (
+        config.sketch_build
+        and n > max(4 * config.m0, 256)
+        and dim >= proj_ops.PACK
+    )
     neighbors = jnp.full((n_pad, buffer_width), SENTINEL, dtype=jnp.int32)
     degrees = jnp.zeros((n_pad,), dtype=jnp.int32)
+    if use_sketch:
+        pdims = min(config.sketch_dims, dim)
+        pdims -= pdims % proj_ops.PACK
+        pdims = max(pdims, proj_ops.PACK)
+        w = proj_ops.make_projection(dim, pdims, config.seed)
+        x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
+        node_proj = jnp.dot(x_padded, w, preferred_element_type=jnp.float32)
+        scale = proj_ops.fit_scale(node_proj[:n])
+        node_sketch = proj_ops.quantize_pack(node_proj, scale)
+        node_proj_q = node_proj * scale
+        del node_proj
+        nbr_sketch = jnp.zeros(
+            (n_pad, buffer_width, pdims // proj_ops.PACK), dtype=jnp.int32
+        )
+    else:
+        x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
+        w = scale = node_sketch = node_proj_q = nbr_sketch = None
 
     # --- wave 0: brute-force kNN init over a seed set ---
     # Seed up to one full wave so subsequent waves run at max width from the
@@ -503,6 +627,8 @@ def build_index(
         _, nbr0 = jax.lax.top_k(-d0, k0)
         neighbors = neighbors.at[:w0, :k0].set(nbr0.astype(jnp.int32))
         degrees = degrees.at[:w0].set(k0)
+        if use_sketch:
+            nbr_sketch = nbr_sketch.at[:w0, :k0, :].set(node_sketch[nbr0])
 
     # --- subsequent waves: doubling schedule ---
     # Wave width is the largest power of two <= the inserted prefix (the seed
@@ -514,70 +640,87 @@ def build_index(
     # wave ids).
     if w0 < n:
         max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
-        max_wave = min(config.wave_size, n_pad)
-        x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
         count = jnp.int32(n)
-
-        pq_ctx = None
-        if config.pq_build and n >= 4 * 256:
-            # Train on a prefix sample, encode the whole (padded) corpus once;
-            # codes for not-yet-inserted rows are harmless (never neighbors).
-            from islands_tpu.core.config import PQConfig
-            from islands_tpu.core.pq import ProductQuantizer
-
-            pq = ProductQuantizer(PQConfig(
-                num_subquantizers=config.pq_build_subquantizers,
-                training_iterations=15, seed=config.seed,
-            ))
-            pq.train(x_prepped)
-            codes = pq.encode(jnp.pad(x_prepped, ((0, n_pad - n), (0, 0))))
-            pq_ctx = (pq.codebook.centroids, codes)
+        rng = np.random.default_rng(config.seed ^ 0x5EED)
 
         s = w0
         while s < n:
             wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
             entry = jnp.int32(entries[s])
-            neighbors, degrees = wave_step(
-                neighbors, degrees, jnp.int32(s), entry, x_padded, count, pq_ctx,
+            if use_sketch:
+                routing = jnp.asarray(
+                    rng.integers(0, s, size=config.routing_size), dtype=jnp.int32
+                )
+                sketch_ctx = (node_sketch, node_proj_q, routing, w, scale)
+            else:
+                sketch_ctx = None
+            neighbors, degrees, nbr_sketch = wave_step(
+                neighbors, degrees, nbr_sketch, jnp.int32(s), entry, x_padded,
+                count, sketch_ctx,
                 config=config, n=n_pad, wave=wave, buffer_width=buffer_width,
                 max_iters=max_iters,
             )
             s += wave
-    else:
-        x_padded = jnp.pad(x_prepped, ((0, n_pad - n), (0, 0)))
 
     # --- final sweep: repair any node still over m0, crop slack + padding ---
-    neighbors, degrees = _final_sweep(
-        neighbors, degrees, x_padded[:n_pad], m0, config.metric, config.diversify
+    neighbors, degrees, nbr_sketch = _final_sweep(
+        neighbors, degrees, nbr_sketch, x_padded[:n_pad], m0, config.metric,
+        config.diversify, w, scale,
     )
     neighbors = neighbors[:n, :m0]
     degrees = degrees[:n]
 
     max_level = int(levels.max())
     entry = int(np.argmax(levels == max_level))
-    return CsrGraph(
+    graph = CsrGraph(
         neighbors=neighbors,
         degrees=degrees,
         levels=jnp.asarray(levels),
         entry_point=jnp.int32(entry),
         max_level=jnp.int32(max_level),
     )
+    sketch_index = None
+    if want_sketch:
+        if use_sketch:
+            sketch_index = proj_ops.SketchIndex(
+                w=w,
+                scale=scale,
+                node_sketch=node_sketch[:n],
+                nbr_sketch=nbr_sketch[:n, :m0],
+            )
+        elif dim >= proj_ops.PACK:
+            pdims = min(config.sketch_dims, dim)
+            pdims = max(pdims - pdims % proj_ops.PACK, proj_ops.PACK)
+            sketch_index = proj_ops.build_sketch_index(
+                x_prepped, neighbors, proj_dims=pdims, seed=config.seed
+            )
+    return graph, sketch_index
 
 
-@functools.partial(jax.jit, static_argnames=("m0", "metric", "diversify"))
-def _final_sweep(neighbors, degrees, x_prepped, m0, metric, diversify=False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("m0", "metric", "diversify"),
+    donate_argnums=(0, 1, 2),
+)
+def _final_sweep(
+    neighbors, degrees, nbr_sketch, x_prepped, m0, metric, diversify=False,
+    w=None, scale=None,
+):
     n = neighbors.shape[0]
     chunk = min(4096, n)
     num_chunks = -(-n // chunk)
 
     def body(i, state):
-        nbrs, degs = state
+        nbrs, degs, sk = state
         ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
         ids = jnp.where(ids < n, ids, n)
         # Only rows over m0 need work, but repairing a clean row is a no-op
         # (it re-sorts to the same nearest-m0 set); repair the whole chunk.
         needs = degs[jnp.clip(ids, 0, n - 1)] > m0
         ids = jnp.where(needs & (ids < n), ids, n)
-        return _repair_rows(nbrs, degs, ids, x_prepped, m0, metric, diversify)
+        return _repair_rows(
+            nbrs, degs, ids, x_prepped, m0, metric, diversify,
+            nbr_sketch=sk, w=w, scale=scale,
+        )
 
-    return jax.lax.fori_loop(0, num_chunks, body, (neighbors, degrees))
+    return jax.lax.fori_loop(0, num_chunks, body, (neighbors, degrees, nbr_sketch))

@@ -76,16 +76,26 @@ class LeannConfig:
     # cluster-redundant edges that cripple flat-graph navigation on clustered
     # corpora; this is the standard HNSW select-heuristic fix.
     diversify: bool = True
-    # PQ-gated construction: wave candidate search scores neighbors with
-    # PQ-ADC code gathers (16 B/row) instead of full embedding gathers
-    # (4d B/row) and exact-scores only the promoted few per hop. The hop is
-    # gather-latency bound at large n, so this is the large-corpus build
-    # throughput lever (measured 33 ms -> ~10 ms/hop at n=1M). Candidate
-    # quality is protected by exact rescoring of everything that reaches the
-    # construction pool.
-    pq_build: bool = False
-    pq_build_subquantizers: int = 16
-    pq_build_promote: int = 32
+    # Sketch-gated construction (round-2 default): the wave candidate search
+    # ranks neighbors via inline int8-projection sketch blocks (ops/proj.py)
+    # instead of per-neighbor embedding-row gathers, and exact-rescores the
+    # pooled candidates once per wave. Round-1 profiling showed the hop is
+    # bound by gather COUNT (~10 ns/row regardless of row size); the inline
+    # block layout cuts fetch count ~BW-fold. Supersedes the round-1
+    # `pq_build` flag (PQ-code rows were the same gather count and measured
+    # slower end-to-end; see docs/design.md).
+    sketch_build: bool = True
+    # Projected dimensions of the sketch (multiple of 4; int8-quantized).
+    sketch_dims: int = 16
+    # Candidate entry points sampled from the inserted prefix per wave; each
+    # query starts at its nearest routing node (cuts hops on clustered data).
+    routing_size: int = 1024
+    # Default QUERY gate: when True, LeannIndex.search(gate="auto") uses the
+    # sketch-gated hop (recomputing only the final ef embeddings per query).
+    # Off by default: sketch ranking fidelity depends on the corpus living on
+    # a low-dimensional manifold (true for real text/code embeddings, false
+    # for uniform-random vectors); callers with real embeddings opt in.
+    sketch_query: bool = False
 
     # --- TPU build/search pipeline knobs ---
     wave_size: int = 1024

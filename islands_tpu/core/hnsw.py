@@ -205,14 +205,14 @@ class HnswIndex:
         x_padded = jnp.pad(x_all, ((0, wave), (0, 0)))
         s = n_old
         while s < n:
-            neighbors, degrees = build_mod.wave_step(
-                neighbors, degrees, jnp.int32(s), jnp.int32(self.entry_point),
-                x_padded, jnp.int32(n),
+            neighbors, degrees, _ = build_mod.wave_step(
+                neighbors, degrees, None, jnp.int32(s),
+                jnp.int32(self.entry_point), x_padded, jnp.int32(n),
                 config=cfg0, n=n, wave=wave, buffer_width=bw, max_iters=max_iters,
             )
             s += wave
-        neighbors, degrees = build_mod._final_sweep(
-            neighbors, degrees, x_all, m0, cfg0.metric, cfg0.diversify
+        neighbors, degrees, _ = build_mod._final_sweep(
+            neighbors, degrees, None, x_all, m0, cfg0.metric, cfg0.diversify
         )
         self.x = x_all
         # Recompute entry metadata from the merged levels BEFORE constructing

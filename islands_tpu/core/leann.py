@@ -61,7 +61,9 @@ class LeannIndex:
         self.dimension: int | None = None
         self.pq: ProductQuantizer | None = None
         self.pq_codes: Array | None = None
+        self.sketch = None  # ops/proj.SketchIndex from construction
         self.last_recompute_fraction: float | None = None
+        self._routing: Array | None = None
 
     # -- introspection (reference: leann.rs:836-856) -----------------------
 
@@ -79,6 +81,10 @@ class LeannIndex:
         total = self.graph.storage_bytes() if self.graph is not None else 0
         if self.pq is not None and self.pq_codes is not None:
             total += self.pq.storage_bytes(self.num_nodes)
+        if self.sketch is not None:
+            # Only the per-node sketch table is storage; the inline neighbor
+            # blocks are derived from it + the graph at load time.
+            total += 4 * self.sketch.node_sketch.size + 4 * self.sketch.w.size + 4
         return total
 
     # -- build (reference: leann.rs:560-631) -------------------------------
@@ -100,7 +106,8 @@ class LeannIndex:
             self.graph = CsrGraph.empty(0, self.config.m0)
             return self
         x = materialize_embeddings(provider, n)
-        self.graph = build_mod.build_index(x, self.config)
+        self.graph, self.sketch = build_mod.build_index_with_sketch(x, self.config)
+        self._init_routing()
         if with_pq is not None:
             self._train_pq(x, with_pq)
         del x
@@ -113,10 +120,20 @@ class LeannIndex:
         provider for the temp-embedding pass)."""
         x = jnp.asarray(x, dtype=jnp.float32)
         self.dimension = int(x.shape[1]) if x.ndim == 2 else None
-        self.graph = build_mod.build_index(x, self.config)
+        self.graph, self.sketch = build_mod.build_index_with_sketch(x, self.config)
+        self._init_routing()
         if with_pq is not None:
             self._train_pq(x, with_pq)
         return self
+
+    def _init_routing(self) -> None:
+        n = self.graph.num_nodes if self.graph is not None else 0
+        if self.sketch is not None and n > 0:
+            rng = np.random.default_rng(self.config.seed)
+            self._routing = jnp.asarray(
+                rng.integers(0, n, size=min(self.config.routing_size, n)),
+                dtype=jnp.int32,
+            )
 
     def _train_pq(self, x: Array, pq_config: PQConfig) -> None:
         """Train PQ + encode all vectors. For COSINE, trains on normalized
@@ -136,12 +153,19 @@ class LeannIndex:
         ef: int | None = None,
         expand_width: int | None = None,
         max_iters: int | None = None,
+        gate: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched recompute search: queries [B, d] (or [d]) ->
         (dists [B, k], ids [B, k]) ascending; unfilled slots (inf, -1).
 
         Algorithm 1 + the configured pruning strategy (prune_ratio > 0
         reduces how many neighbor embeddings are recomputed per hop).
+
+        `gate`: "auto" uses the construction SketchIndex when present —
+        hops rank candidates by inline sketches and exactly `ef` embeddings
+        are recomputed per query (vs every unpruned neighbor per hop in the
+        reference loop, leann.rs:946-948). "none" forces the reference-style
+        per-hop recompute loop; "sketch" requires the sketch.
         """
         graph = self._require_graph()
         q = jnp.asarray(queries, dtype=jnp.float32)
@@ -158,6 +182,35 @@ class LeannIndex:
             max_iters = default_max_iters(ef, expand_width)
 
         scorer = make_recompute_scorer(provider.embed_fn, self.config.metric)
+        if gate == "auto":
+            gate = (
+                "sketch"
+                if (self.sketch is not None and self.config.sketch_query)
+                else "none"
+            )
+        if gate == "sketch":
+            if self.sketch is None:
+                raise IndexNotBuilt("no SketchIndex (built with sketch_build=False)")
+            from islands_tpu.core.search import batched_sketch_gated_query
+            from islands_tpu.ops import proj as proj_ops
+
+            qp = dist_ops.prep_query(q, self.config.metric)
+            qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
+            promote = max(8, min(2 * expand_width * 4, ef))
+            dists, ids, n_exact = batched_sketch_gated_query(
+                qp, qs, provider.embed_ctx, self.sketch.scale,
+                graph.neighbors, self.sketch.nbr_sketch,
+                self.sketch.node_sketch, self._routing,
+                exact_scorer=scorer, metric=self.config.metric,
+                dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
+                promote_width=promote, expand_width=expand_width,
+                max_iters=8 * max(ef // promote, 1) + 32,
+            )
+            self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(
+                self.num_nodes, 1
+            )
+            dists, ids = np.asarray(dists), np.asarray(ids)
+            return (dists[0], ids[0]) if single else (dists, ids)
         prune = make_prune_fn(
             self.config.pruning_strategy, self.config.prune_ratio, ef,
             seed=self.config.seed,

@@ -290,6 +290,336 @@ def _search_one(
     return pool_dists, pool_ids
 
 
+def _search_one_sketch(
+    qs: Array,
+    neighbors: Array,
+    nbr_sketch: Array,
+    node_sketch: Array,
+    entry_point: Array,
+    *,
+    metric: DistanceMetric,
+    ef: int,
+    expand_width: int,
+    max_iters: int,
+) -> tuple[Array, Array]:
+    """Best-first search driven entirely by inline neighbor sketches.
+
+    The hop gathers `expand_width` contiguous [BW, P/4] sketch blocks (one per
+    expanded node) instead of `expand_width * BW` scattered embedding rows —
+    the count-bound-gather fix (see ops/proj.py). Pool distances are
+    approximate; callers exact-rescore the final pool (build: once per wave;
+    query: once per batch). Loop structure otherwise matches `_search_one`
+    (reference semantics: leann.rs:899-988).
+    """
+    from islands_tpu.ops import proj as proj_ops
+
+    n, m = neighbors.shape
+    em = expand_width * m
+
+    entry = jnp.maximum(entry_point, 0)
+    entry_raw = proj_ops.unpack_raw(node_sketch[entry])
+    d_entry = proj_ops.sketch_distance(qs, entry_raw, metric)
+
+    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
+    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
+
+    def cond(state):
+        pool_dists, pool_expanded, *_, it = state
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        best_unexp = jnp.min(unexp)
+        worst = pool_dists[-1]
+        return (best_unexp < _INF) & (best_unexp <= worst) & (it < max_iters)
+
+    def body(state):
+        pool_dists, pool_expanded, pool_ids, it = state
+
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
+        sel_valid = -neg_best < _INF
+        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
+        sel_ids = pool_ids[sel_pos]
+
+        safe = jnp.clip(sel_ids, 0, n - 1)
+        rows = neighbors[safe]                       # [E, M] ids
+        blocks = nbr_sketch[safe]                    # [E, M, P/4] inline sketches
+        nbr_ids = rows.reshape(em)
+        nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
+
+        raw = proj_ops.unpack_raw(blocks).reshape(em, -1)
+        d = proj_ops.sketch_distance(qs, raw, metric)
+        d = jnp.where(nbr_valid, d, _INF)
+        nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
+
+        # Dedup by id carrying the (identical-per-id) sketch distances, then
+        # scatter-free visited check against the pool (see _not_in_set).
+        sorted_ids, d = jax.lax.sort((nbr_ids, d), num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
+        )
+        keep = (sorted_ids < n) & (sorted_ids != prev)
+        keep = keep & _not_in_set(sorted_ids, pool_ids)
+
+        new_dists = jnp.where(keep, d, _INF)
+        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+
+        all_d = jnp.concatenate([pool_dists, new_dists])
+        all_i = jnp.concatenate([pool_ids, new_ids])
+        all_e = jnp.concatenate([pool_expanded, ~keep])
+        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+        return (all_d[:ef], all_e[:ef], all_i[:ef], it + 1)
+
+    state = (pool_dists, pool_expanded, pool_ids, jnp.int32(0))
+    pool_dists, _, pool_ids, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "expand_width", "max_iters"),
+)
+def batched_sketch_search(
+    qs: Array,
+    neighbors: Array,
+    nbr_sketch: Array,
+    node_sketch: Array,
+    entry_point: Array,
+    *,
+    metric: DistanceMetric,
+    ef: int,
+    expand_width: int = 4,
+    max_iters: int = 100,
+) -> tuple[Array, Array]:
+    """qs [B, P] scaled query sketches -> (approx dists [B, ef], ids [B, ef]).
+    `entry_point` scalar (shared) or [B] (per-query, e.g. from route_entries)."""
+    search = functools.partial(
+        _search_one_sketch,
+        neighbors=neighbors,
+        nbr_sketch=nbr_sketch,
+        node_sketch=node_sketch,
+        metric=metric,
+        ef=ef,
+        expand_width=expand_width,
+        max_iters=max_iters,
+    )
+    if jnp.ndim(entry_point) == 0:
+        return jax.vmap(lambda q: search(q, entry_point=entry_point))(qs)
+    return jax.vmap(lambda q, e: search(q, entry_point=e))(qs, entry_point)
+
+
+def _search_one_sketch_gated(
+    q: Array,
+    qs: Array,
+    exact_ctx,
+    scale: Array,
+    neighbors: Array,
+    nbr_sketch: Array,
+    node_sketch: Array,
+    entry_point: Array,
+    *,
+    exact_scorer: Scorer,
+    metric: DistanceMetric,
+    dim: int,
+    ef: int,
+    aq_width: int,
+    promote_width: int,
+    expand_width: int,
+    max_iters: int,
+) -> tuple[Array, Array, Array]:
+    """Two-level sketch-gated search for a single query (spec Algorithm 2,
+    docs/leann-specification.md:223-271, with the inline-neighbor sketch as
+    the approximate level instead of PQ-ADC).
+
+    Each hop expands the best exact-pool entries, fetches their inline
+    sketch blocks (expand_width contiguous reads), and merges
+    calibrated-scale sketch distances into a persistent Approximate Queue;
+    only the best `promote_width` AQ entries per hop get exact scoring
+    (stored-row gather or embedding recompute via `exact_ctx`). The pool —
+    and therefore navigation and termination — is driven by EXACT distances,
+    so sketch noise only costs extra promotions, never wrong results in the
+    pool. Per-hop triage (top promote_width of ~expand*M neighbors) needs
+    far less sketch fidelity than global ranking, which is why this is the
+    query-time configuration while the pure-sketch pool (_search_one_sketch)
+    is reserved for construction, where the wave pipeline exact-rescores and
+    re-prunes everything downstream anyway.
+
+    Returns (pool_dists [ef], pool_ids [ef], n_exact_scored).
+    """
+    from islands_tpu.ops import proj as proj_ops
+
+    n, m = neighbors.shape
+    em = expand_width * m
+
+    entry = jnp.maximum(entry_point, 0)
+    d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
+
+    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
+    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
+    aq_ids = jnp.full((aq_width,), SENTINEL, dtype=jnp.int32)
+    aq_dists = jnp.full((aq_width,), _INF)
+    n_exact = jnp.int32(1)
+
+    def cond(state):
+        pool_dists, pool_expanded, _, aq_dists, *_, it = state
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        best_unexp = jnp.min(unexp)
+        worst = pool_dists[-1]
+        exact_work = (best_unexp < _INF) & (best_unexp <= worst)
+        # AQ distances are calibrated to the exact metric's scale
+        # (proj.sketch_distance_calibrated), so this cross-queue comparison
+        # is meaningful; calibration error only shifts the stopping point.
+        aq_work = (aq_dists[0] < _INF) & (aq_dists[0] <= worst)
+        return (exact_work | aq_work) & (it < max_iters)
+
+    def body(state):
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact, it = state
+
+        # --- Phase 1: expand, fetch inline sketch blocks, approx-score ---
+        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
+        sel_valid = -neg_best < _INF
+        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
+        sel_ids = pool_ids[sel_pos]
+
+        safe = jnp.clip(sel_ids, 0, n - 1)
+        rows = neighbors[safe]
+        blocks = nbr_sketch[safe]
+        nbr_ids = rows.reshape(em)
+        nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
+
+        raw = proj_ops.unpack_raw(blocks).reshape(em, -1)
+        d_approx = proj_ops.sketch_distance_calibrated(qs, raw, metric, scale, dim)
+        d_approx = jnp.where(nbr_valid, d_approx, _INF)
+        nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
+
+        sorted_ids, d_approx = jax.lax.sort((nbr_ids, d_approx), num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
+        )
+        keep = (sorted_ids < n) & (sorted_ids != prev)
+        keep = keep & _not_in_set(sorted_ids, aq_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_ids)
+
+        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+        new_d = jnp.where(keep, d_approx, _INF)
+
+        # --- merge into the approximate queue ---
+        aq_d = jnp.concatenate([aq_dists, new_d])
+        aq_i = jnp.concatenate([aq_ids, new_ids])
+        aq_d, aq_i = jax.lax.sort((aq_d, aq_i), num_keys=1)
+
+        # --- Phase 2: promote best promote_width AQ entries to exact ---
+        prom_ids = aq_i[:promote_width]
+        prom_valid = aq_d[:promote_width] < _INF
+        aq_dists = aq_d[promote_width : promote_width + aq_width]
+        aq_ids = aq_i[promote_width : promote_width + aq_width]
+
+        d_exact = exact_scorer(
+            exact_ctx, q, jnp.where(prom_valid, prom_ids, 0), prom_valid
+        )
+        n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
+
+        all_d = jnp.concatenate([pool_dists, d_exact])
+        all_i = jnp.concatenate([pool_ids, jnp.where(prom_valid, prom_ids, SENTINEL)])
+        all_e = jnp.concatenate([pool_expanded, ~prom_valid])
+        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+        return (
+            all_d[:ef], all_e[:ef], all_i[:ef], aq_dists, aq_ids, n_exact,
+            it + 1,
+        )
+
+    state = (
+        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact,
+        jnp.int32(0),
+    )
+    pool_dists, _, pool_ids, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_ids, n_exact
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "exact_scorer", "metric", "dim", "ef", "k", "aq_width",
+        "promote_width", "expand_width", "max_iters",
+    ),
+)
+def batched_sketch_gated_query(
+    qp: Array,
+    qs: Array,
+    exact_ctx,
+    scale: Array,
+    neighbors: Array,
+    nbr_sketch: Array,
+    node_sketch: Array,
+    routing_ids: Array,
+    *,
+    exact_scorer: Scorer,
+    metric: DistanceMetric,
+    dim: int,
+    ef: int,
+    k: int,
+    aq_width: int,
+    promote_width: int,
+    expand_width: int = 4,
+    max_iters: int = 100,
+) -> tuple[Array, Array, Array]:
+    """Batched two-level sketch-gated query with per-query routing entries.
+
+    Returns (dists [B, k], ids [B, k], n_exact [B]) — exact distances,
+    ascending. With a recompute `exact_scorer`, mean(n_exact)/N is the
+    recompute fraction (the metric the reference dead-codes,
+    leann.rs:974-981).
+    """
+    entries = route_entries(qs, routing_ids, node_sketch, metric)
+    search = functools.partial(
+        _search_one_sketch_gated,
+        neighbors=neighbors,
+        nbr_sketch=nbr_sketch,
+        node_sketch=node_sketch,
+        exact_scorer=exact_scorer,
+        metric=metric,
+        dim=dim,
+        ef=ef,
+        aq_width=aq_width,
+        promote_width=promote_width,
+        expand_width=expand_width,
+        max_iters=max_iters,
+    )
+    dists, ids, n_exact = jax.vmap(
+        lambda q1, s1, e1: search(q1, s1, exact_ctx, scale, entry_point=e1)
+    )(qp, qs, entries)
+    return dists[:, :k], ids[:, :k], n_exact
+
+
+def route_entries(
+    qs: Array,
+    routing_ids: Array,
+    node_sketch: Array,
+    metric: DistanceMetric,
+) -> Array:
+    """Per-query entry points: the routing node whose sketch is nearest.
+
+    Dense [B, R] sketch scoring (one small matmul) replaces the reference's
+    greedy multi-layer descent (hnsw.rs:458-480); on clustered corpora it
+    drops the search straight into the right region, cutting hops/wave
+    (round-1 profiling: clustered data doubled hop counts from a single
+    global entry).
+    """
+    from islands_tpu.ops import proj as proj_ops
+
+    raw = proj_ops.unpack_raw(node_sketch[routing_ids])  # [R, P]
+    if proj_ops.uses_dot(metric):
+        d = -jnp.dot(qs, raw.T, preferred_element_type=jnp.float32)
+    else:
+        d = (
+            jnp.sum(qs * qs, axis=1)[:, None]
+            + jnp.sum(raw * raw, axis=1)[None, :]
+            - 2.0 * jnp.dot(qs, raw.T, preferred_element_type=jnp.float32)
+        )
+    return routing_ids[jnp.argmin(d, axis=1)].astype(jnp.int32)
+
+
 def _search_one_two_level(
     q: Array,
     tables: Array,
@@ -501,18 +831,39 @@ def default_max_iters(ef: int, expand_width: int) -> int:
 class StoredSearcher:
     """Search handle over a graph + stored embeddings (the reference's
     `Searcher` builder role, src/core/search.rs:106-182, flattened to LEANN's
-    single-layer graph with a max-level entry point)."""
+    single-layer graph with a max-level entry point).
+
+    With a `sketch` (ops/proj.SketchIndex — returned by
+    build_index_with_sketch or derived via build_sketch_index), queries
+    default to the sketch-gated path: per-query routing entries, hops over
+    inline neighbor-sketch blocks, one exact rescore of the pooled ef
+    candidates. Pass gate="exact" for the round-1 per-hop exact loop.
+    """
 
     def __init__(
         self,
         graph: CsrGraph,
         x: Array,
         metric: DistanceMetric = DistanceMetric.COSINE,
+        sketch=None,
+        routing_size: int = 1024,
+        seed: int = 0,
     ):
+        import numpy as _np
+
         self.graph = graph
         self.metric = metric
         self.x_prepped = dist_ops.prep_corpus(x, metric)
         self._scorer = make_stored_scorer(metric)
+        self.sketch = sketch
+        n = graph.num_nodes
+        if sketch is not None and n > 0:
+            rng = _np.random.default_rng(seed)
+            self._routing = jnp.asarray(
+                rng.integers(0, n, size=min(routing_size, n)), dtype=jnp.int32
+            )
+        else:
+            self._routing = None
 
     def search(
         self,
@@ -521,6 +872,7 @@ class StoredSearcher:
         ef: int = 64,
         expand_width: int = 4,
         max_iters: int | None = None,
+        gate: str = "auto",
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
         empty results (reference: leann.rs:875-877)."""
@@ -531,6 +883,25 @@ class StoredSearcher:
         if max_iters is None:
             max_iters = default_max_iters(ef, expand_width)
         qp = dist_ops.prep_query(queries, self.metric)
+        if gate == "auto":
+            gate = "sketch" if self.sketch is not None else "exact"
+        if gate == "sketch":
+            if self.sketch is None:
+                raise ValueError("no SketchIndex attached (gate='sketch')")
+            from islands_tpu.ops import proj as proj_ops
+
+            qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
+            promote = max(8, min(2 * expand_width * 4, ef))
+            d, ids, _ = batched_sketch_gated_query(
+                qp, qs, self.x_prepped, self.sketch.scale,
+                self.graph.neighbors, self.sketch.nbr_sketch,
+                self.sketch.node_sketch, self._routing,
+                exact_scorer=self._scorer, metric=self.metric,
+                dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
+                promote_width=promote, expand_width=expand_width,
+                max_iters=8 * max(ef // promote, 1) + 32,
+            )
+            return d, ids
         dists, ids = batched_search(
             qp, self.x_prepped, self.graph.neighbors, self.graph.entry_point,
             scorer=self._scorer, ef=ef, expand_width=expand_width,

@@ -164,8 +164,8 @@ def build_sharded(
                 )
 
                 def local_wave(nbrs, degs, entry, xl, count, start, _body=body):
-                    nb, dg = _body(
-                        nbrs[0], degs[0], start, entry[0], xl[0], count[0]
+                    nb, dg, _ = _body(
+                        nbrs[0], degs[0], None, start, entry[0], xl[0], count[0]
                     )
                     return nb[None], dg[None]
 
@@ -200,7 +200,9 @@ def build_sharded(
         check_vma=False,
     )
     def sweep(nbrs, degs, xl):
-        nb, dg = _final_sweep(nbrs[0], degs[0], xl[0], m0, config.metric, config.diversify)
+        nb, dg, _ = _final_sweep(
+            nbrs[0], degs[0], None, xl[0], m0, config.metric, config.diversify
+        )
         return nb[None], dg[None]
 
     neighbors, degrees = jax.jit(sweep)(neighbors, degrees, x_dev)
