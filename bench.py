@@ -55,6 +55,13 @@ def make_bench_corpus(n, dim, n_queries):
     return x, queries
 
 
+def _bucket(n):
+    b = 512
+    while b < n:
+        b *= 2
+    return b
+
+
 def load_measured_baseline():
     """Measured native-baseline numbers (bench_baseline.py), if present."""
     import pathlib
@@ -83,6 +90,18 @@ def main():
     cfg = LeannConfig(metric=metric, wave_size=4096)  # paper graph params
 
     x, queries = make_bench_corpus(N, DIM, N_QUERIES)
+
+    # --- warmup: load/compile the wave executables on a half-size corpus in
+    # the SAME power-of-two structural bucket (identical shapes). Through the
+    # axon tunnel, first dispatch of each cached executable costs minutes of
+    # load time that has nothing to do with build throughput; the reported
+    # build time measures the algorithm, warmup_seconds reports the rest. ---
+    n_warm = (_bucket(N) // 2) + 1  # smallest n mapping to N's bucket
+    t0 = time.perf_counter()
+    gw, _ = build_index_with_sketch(x[:n_warm], cfg)
+    jax.block_until_ready(gw.neighbors)
+    warm_s = time.perf_counter() - t0
+    del gw
 
     # --- build (sketch-gated wave pipeline; the sketch is reused at query
     # time for the gated search, so its cost is charged to the build) ---
@@ -170,6 +189,7 @@ def main():
                 "build_seconds": round(build_s, 2),
                 "build_vectors_per_s": round(build_vps, 1),
                 "build_vs_baseline": round(build_vps / ref_build_vps, 2),
+                "warmup_seconds": round(warm_s, 2),
                 "index_bytes_per_vector": round(bytes_per_vec, 2),
                 "baseline_source": "measured" if measured else "estimated",
                 "n": N,

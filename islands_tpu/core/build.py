@@ -264,7 +264,11 @@ def _repair_rows(
             scale,
         )
         sk = jnp.where(slot_live[:, :, None], sk, 0)
-        nbr_sketch = nbr_sketch.at[node_ids].set(sk, mode="drop")
+        # nbr_sketch rows are the [BW, P/4] word blocks flattened (2-D layout;
+        # see ops/proj.SketchIndex).
+        nbr_sketch = nbr_sketch.at[node_ids].set(
+            sk.reshape(sk.shape[0], -1), mode="drop"
+        )
     return neighbors, degrees, nbr_sketch
 
 
@@ -316,7 +320,7 @@ def _scatter_reverse_edges(
     degrees = degrees.at[dst_w].add(ok.astype(jnp.int32), mode="drop")
 
     if nbr_sketch is not None:
-        p4 = nbr_sketch.shape[-1]
+        p4 = node_sketch.shape[-1]
         src_sk = node_sketch[jnp.clip(src_s, 0, node_sketch.shape[0] - 1)]  # [E, P4]
         word_idx = flat_idx[:, None] * p4 + jnp.arange(p4, dtype=jnp.int32)[None, :]
         word_idx = jnp.where(ok[:, None], word_idx, n * bw * p4)
@@ -324,7 +328,7 @@ def _scatter_reverse_edges(
             nbr_sketch.reshape(-1)
             .at[word_idx.reshape(-1)]
             .set(src_sk.reshape(-1), mode="drop")
-            .reshape(n, bw, p4)
+            .reshape(n, bw * p4)
         )
     return neighbors, degrees, nbr_sketch
 
@@ -401,13 +405,18 @@ def wave_body(
         pdims = node_proj_q.shape[1]
         qs = jax.lax.dynamic_slice(node_proj_q, (s, 0), (wave, pdims))
         entries_q = route_entries(qs, routing_ids, node_sketch, metric)
+        # Over-provisioned approx pool: sketch ranking noise would otherwise
+        # drop true candidates at large n; rescoring the wider pool exactly
+        # and keeping the best efc by TRUE distance restores parity with the
+        # exact build (see LeannConfig.sketch_pool_mult).
+        ef_pool = efc * max(config.sketch_pool_mult, 1)
         search_sk = functools.partial(
             _search_one_sketch,
             neighbors=neighbors,
             nbr_sketch=nbr_sketch,
             node_sketch=node_sketch,
             metric=metric,
-            ef=efc,
+            ef=ef_pool,
             expand_width=config.expand_width,
             max_iters=max_iters,
         )
@@ -415,9 +424,15 @@ def wave_body(
             lambda qi, ei: search_sk(qi, entry_point=ei)
         )(qs, entries_q)
         rows = x_prepped[jnp.clip(pool_ids, 0, x_prepped.shape[0] - 1)]
-        g_dists = dist_ops.rows_distance(q, rows, metric)
-        g_dists = jnp.where(pool_ids >= 0, g_dists, _INF)
-        g_ids = pool_ids
+        pool_d = dist_ops.rows_distance(q, rows, metric)
+        pool_d = jnp.where(pool_ids >= 0, pool_d, _INF)
+        if ef_pool > efc:
+            neg, pos = jax.lax.top_k(-pool_d, efc)
+            g_dists = -neg
+            g_ids = jnp.take_along_axis(pool_ids, pos, axis=1)
+            g_ids = jnp.where(g_dists < _INF, g_ids, SENTINEL)
+        else:
+            g_dists, g_ids = pool_d, pool_ids
     else:
         search = functools.partial(
             _search_one,
@@ -462,10 +477,12 @@ def wave_body(
     if nbr_sketch is not None:
         fwd_sk = node_sketch[jnp.clip(sel_ids, 0, node_sketch.shape[0] - 1)]
         fwd_sk = jnp.where((sel_ids != SENTINEL)[:, :, None], fwd_sk, 0)
-        p4 = nbr_sketch.shape[-1]
+        p4 = node_sketch.shape[-1]
         fwd_sk_full = jnp.zeros((wave, buffer_width, p4), dtype=jnp.int32)
         fwd_sk_full = fwd_sk_full.at[:, :m0, :].set(fwd_sk)
-        nbr_sketch = nbr_sketch.at[wave_w].set(fwd_sk_full, mode="drop")
+        nbr_sketch = nbr_sketch.at[wave_w].set(
+            fwd_sk_full.reshape(wave, -1), mode="drop"
+        )
 
     # 4b. reverse edges
     src = jnp.broadcast_to(wave_ids[:, None], (wave, m0))
@@ -607,8 +624,10 @@ def build_index_with_sketch(
         node_sketch = proj_ops.quantize_pack(node_proj, scale)
         node_proj_q = node_proj * scale
         del node_proj
+        # 2-D [n, BW * P/4] layout (see ops/proj.SketchIndex): a trailing dim
+        # of P/4 words would be lane-padded 4 -> 128 by the TPU tile layout.
         nbr_sketch = jnp.zeros(
-            (n_pad, buffer_width, pdims // proj_ops.PACK), dtype=jnp.int32
+            (n_pad, buffer_width * (pdims // proj_ops.PACK)), dtype=jnp.int32
         )
     else:
         x_padded = jnp.pad(x_prepped, ((0, n_pad + max_wave - n), (0, 0)))
@@ -628,7 +647,10 @@ def build_index_with_sketch(
         neighbors = neighbors.at[:w0, :k0].set(nbr0.astype(jnp.int32))
         degrees = degrees.at[:w0].set(k0)
         if use_sketch:
-            nbr_sketch = nbr_sketch.at[:w0, :k0, :].set(node_sketch[nbr0])
+            p4 = pdims // proj_ops.PACK
+            nbr_sketch = nbr_sketch.at[:w0, : k0 * p4].set(
+                node_sketch[nbr0].reshape(w0, -1)
+            )
 
     # --- subsequent waves: doubling schedule ---
     # Wave width is the largest power of two <= the inserted prefix (the seed
@@ -686,7 +708,7 @@ def build_index_with_sketch(
                 w=w,
                 scale=scale,
                 node_sketch=node_sketch[:n],
-                nbr_sketch=nbr_sketch[:n, :m0],
+                nbr_sketch=nbr_sketch[:n, : m0 * (pdims // proj_ops.PACK)],
             )
         elif dim >= proj_ops.PACK:
             pdims = min(config.sketch_dims, dim)

@@ -87,6 +87,12 @@ class LeannConfig:
     sketch_build: bool = True
     # Projected dimensions of the sketch (multiple of 4; int8-quantized).
     sketch_dims: int = 16
+    # Construction searches an approx pool of sketch_pool_mult*ef_construction
+    # entries, exact-rescoring all of it and keeping the best ef_construction
+    # by TRUE distance. The over-provisioned pool absorbs sketch ranking
+    # noise, which otherwise costs graph recall at large n (measured at 1M:
+    # recall@10 0.893 -> parity with the exact build at mult=2).
+    sketch_pool_mult: int = 2
     # Candidate entry points sampled from the inserted prefix per wave; each
     # query starts at its nearest routing node (cuts hops on clustered data).
     routing_size: int = 1024

@@ -342,11 +342,11 @@ def _search_one_sketch(
 
         safe = jnp.clip(sel_ids, 0, n - 1)
         rows = neighbors[safe]                       # [E, M] ids
-        blocks = nbr_sketch[safe]                    # [E, M, P/4] inline sketches
+        blocks = nbr_sketch[safe]                    # [E, M*P/4] inline sketches
         nbr_ids = rows.reshape(em)
         nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
 
-        raw = proj_ops.unpack_raw(blocks).reshape(em, -1)
+        raw = proj_ops.unpack_raw(blocks.reshape(em, -1))
         d = proj_ops.sketch_distance(qs, raw, metric)
         d = jnp.where(nbr_valid, d, _INF)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
@@ -484,11 +484,11 @@ def _search_one_sketch_gated(
 
         safe = jnp.clip(sel_ids, 0, n - 1)
         rows = neighbors[safe]
-        blocks = nbr_sketch[safe]
+        blocks = nbr_sketch[safe]                    # [E, M*P/4]
         nbr_ids = rows.reshape(em)
         nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
 
-        raw = proj_ops.unpack_raw(blocks).reshape(em, -1)
+        raw = proj_ops.unpack_raw(blocks.reshape(em, -1))
         d_approx = proj_ops.sketch_distance_calibrated(qs, raw, metric, scale, dim)
         d_approx = jnp.where(nbr_valid, d_approx, _INF)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)

@@ -70,6 +70,13 @@ class EmbeddingConfig:
     model: str = "bge-small"  # preset name or local HF path for "encoder"
     batch_size: int = 32  # reference default: service.rs:92
     dimension: int = 384  # used by "hash"
+    # LEANN recompute mode (requires kind="encoder"): the service persists
+    # the tokenized corpus instead of an [n, d] float matrix and answers
+    # queries by recomputing embeddings during search — the deployment shape
+    # the reference describes but never wires in (SURVEY.md §2.1 critical
+    # wiring fact; provider.rs:450-472 leaves the id->text bridge
+    # unimplemented).
+    recompute: bool = False
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -127,6 +134,7 @@ class IndexInfo:
     commit: str | None = None
     indexed_at: float = 0.0
     size_bytes: int = 0
+    mode: str = "stored"  # "stored" | "recompute" (see EmbeddingConfig)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -137,14 +145,16 @@ class IndexInfo:
 
 
 class StoredIndex:
-    """In-memory handle: info + LEANN index + chunks + recompute provider."""
+    """In-memory handle: info + LEANN index + chunks + provider
+    (InMemoryEmbeddingProvider for stored mode, EncoderEmbeddingProvider for
+    recompute mode)."""
 
     def __init__(
         self,
         info: IndexInfo,
         index: LeannIndex | None = None,
         chunks: list[Chunk] | None = None,
-        provider: InMemoryEmbeddingProvider | None = None,
+        provider=None,
     ):
         self.info = info
         self.index = index
@@ -263,9 +273,21 @@ class IndexerService:
         (d / "chunks.json").write_text(
             json.dumps([c.to_dict() for c in stored.chunks])
         )
-        # Embedding cache: not part of the index (size_bytes charges only
-        # index.leann) but saves a full corpus re-embed on process restart.
-        np.save(d / "embeddings.npy", np.asarray(stored.provider.embeddings))
+        if stored.info.mode == "recompute":
+            # LEANN storage contract on disk: graph + token table only — no
+            # [n, d] float matrix anywhere (the ~95% storage reduction the
+            # reference advertises, README.md:14, but never ships because its
+            # service stores full HnswGraph embeddings, service.rs:614-623).
+            np.savez(
+                d / "tokens.npz",
+                token_ids=np.asarray(stored.provider.token_ids),
+                token_mask=np.asarray(stored.provider.token_mask),
+            )
+            (d / "embeddings.npy").unlink(missing_ok=True)
+        else:
+            # Embedding cache: not part of the index (size_bytes charges only
+            # index.leann) but saves a full corpus re-embed on restart.
+            np.save(d / "embeddings.npy", np.asarray(stored.provider.embeddings))
         stored.info.size_bytes = nbytes
         (d / "metadata.json").write_text(json.dumps(stored.info.to_dict(), indent=1))
 
@@ -282,12 +304,20 @@ class IndexerService:
             )
         stored.index = load_index(idx_file)
         stored.chunks = [Chunk.from_dict(c) for c in json.loads(chunks_file.read_text())]
+        tok_file = d / "tokens.npz"
         emb_file = d / "embeddings.npy"
-        if emb_file.exists():
-            emb = np.load(emb_file)
+        if tok_file.exists():
+            from islands_tpu.models.provider import EncoderEmbeddingProvider
+
+            toks = np.load(tok_file)
+            stored.provider = EncoderEmbeddingProvider(
+                self.embedder, toks["token_ids"], toks["token_mask"]
+            )
+        elif emb_file.exists():
+            stored.provider = InMemoryEmbeddingProvider(np.load(emb_file))
         else:  # legacy layout: recompute from chunk texts
             emb = self.embed_texts([c.text for c in stored.chunks])
-        stored.provider = InMemoryEmbeddingProvider(emb)
+            stored.provider = InMemoryEmbeddingProvider(emb)
         return stored
 
     # -- indexing ----------------------------------------------------------
@@ -323,7 +353,27 @@ class IndexerService:
             raise IndexingFailed(f"no indexable content under {path}")
         num_files = len({c.path for c in chunks})
         logger.info("indexing %s: %d files, %d chunks", name, num_files, len(chunks))
-        emb = self.embed_texts([c.text for c in chunks])
+
+        recompute = self.config.embedding.recompute
+        if recompute and self.config.embedding.kind != "encoder":
+            raise IndexingFailed("recompute mode requires embedding.kind='encoder'")
+        if recompute:
+            from islands_tpu.core.embedding import materialize_embeddings
+            from islands_tpu.models.provider import EncoderEmbeddingProvider
+
+            chunk_provider = EncoderEmbeddingProvider.from_texts(
+                self.embedder, [c.text for c in chunks]
+            )
+            # Embeddings exist only for the duration of construction
+            # (LEANN's temp-embedding pass, leann.rs:560-580); what persists
+            # is the graph + token table.
+            emb = np.asarray(
+                materialize_embeddings(chunk_provider, len(chunks),
+                                       batch=self.config.embedding.batch_size)
+            )
+        else:
+            emb = self.embed_texts([c.text for c in chunks])
+            chunk_provider = InMemoryEmbeddingProvider(emb)
 
         index = LeannIndex(self.config.leann)
         index.build_from_embeddings(emb, with_pq=self.config.pq)
@@ -337,8 +387,10 @@ class IndexerService:
             dimension=int(emb.shape[1]),
             commit=commit,
             indexed_at=time.time(),
+            mode="recompute" if recompute else "stored",
         )
-        stored = StoredIndex(info, index, chunks, InMemoryEmbeddingProvider(emb))
+        del emb
+        stored = StoredIndex(info, index, chunks, chunk_provider)
         with self._lock:
             self.indexes[name] = stored
             self._persist_index(stored)

@@ -151,8 +151,12 @@ class SketchIndex:
     - w: [dim, P] projection (reconstructible from seed, stored for safety)
     - scale: f32 scalar quantization scale
     - node_sketch: [N, P/4] int32 packed per-node sketches
-    - nbr_sketch: [N, M, P/4] int32 inline neighbor sketches, row-aligned
-      with CsrGraph.neighbors
+    - nbr_sketch: [N, M * P/4] int32 inline neighbor sketches, row-aligned
+      with CsrGraph.neighbors: row i is the [M, P/4] word block flattened.
+      Kept 2-D because a trailing dimension of P/4 (= 4 words) forces XLA's
+      (8, 128) tile layout to pad the minor dim 4 -> 128 lanes — a 32x
+      physical inflation that OOMed the 1M build when a [N, M, 4] copy
+      materialized.
     """
 
     w: Array
@@ -192,6 +196,6 @@ def build_sketch_index(
     scale = fit_scale(proj)
     node_sketch = quantize_pack(proj, scale)
     n = x_prepped.shape[0]
-    nbr_sketch = node_sketch[jnp.clip(neighbors, 0, n - 1)]
+    nbr_sketch = node_sketch[jnp.clip(neighbors, 0, n - 1)].reshape(n, -1)
     return SketchIndex(w=w, scale=scale, node_sketch=node_sketch,
                        nbr_sketch=nbr_sketch)

@@ -259,6 +259,95 @@ class TestIndexerService:
         assert svc.handle_webhook(ev2) is False
 
 
+class TestRecomputeMode:
+    """LEANN recompute deployment: token table on disk, no [n, d] float
+    matrix, recompute search through the encoder (closes the reference's
+    'LEANN exists but is never wired in' gap, service.rs:614-623 +
+    provider.rs:450-472)."""
+
+    @pytest.fixture
+    def rsvc(self, tmp_path):
+        from islands_tpu.indexer.service import EmbeddingConfig
+        from islands_tpu.models.encoder import TextEncoder
+
+        enc = TextEncoder.from_preset("tiny-test", seed=0)
+        cfg = IndexerConfig(
+            base_path=str(tmp_path / "islands"),
+            embedding=EmbeddingConfig(kind="encoder", recompute=True),
+        )
+        return IndexerService(cfg, embedder=enc), enc
+
+    def test_no_float_matrix_on_disk(self, rsvc, tmp_path):
+        svc, enc = rsvc
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        info = svc.index_local_path(src, "proj")
+        assert info.mode == "recompute"
+        d = Path(svc.config.indexes_path) / "proj"
+        assert (d / "tokens.npz").exists()
+        assert not (d / "embeddings.npy").exists()
+        # No file on disk is large enough to hide an [n, d] f32 matrix
+        # besides the token table (ids are int32 tokens, not embeddings).
+        emb_bytes = info.num_chunks * info.dimension * 4
+        for f in d.iterdir():
+            if f.name in ("tokens.npz", "chunks.json"):
+                continue
+            assert f.stat().st_size < max(emb_bytes, 4096) or f.name == "index.leann"
+        # Report on-disk bytes/chunk for the index proper (graph + tokens).
+        per_chunk = (
+            (d / "index.leann").stat().st_size + (d / "tokens.npz").stat().st_size
+        ) / info.num_chunks
+        assert per_chunk > 0
+
+    def test_recompute_search_matches_brute_force(self, rsvc, tmp_path):
+        svc, enc = rsvc
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        stored = svc.indexes["proj"]
+        texts = [c.text for c in stored.chunks]
+        emb = np.concatenate(
+            [np.asarray(enc.embed_texts(texts[i : i + 8])) for i in range(0, len(texts), 8)]
+        )
+        # Self-retrieval: querying with each chunk's own text must return
+        # that chunk (distance ~0) — recall vs brute force on the corpus.
+        hits = 0
+        for i, t in enumerate(texts):
+            res = svc.search(t, top_k=3)
+            paths = [(r["path"], r["start_line"]) for r in res]
+            if (stored.chunks[i].path, stored.chunks[i].start_line) in paths:
+                hits += 1
+        assert hits / len(texts) >= 0.9
+        assert emb.shape[0] == len(texts)
+
+    def test_reload_uses_token_table(self, rsvc, tmp_path):
+        svc, enc = rsvc
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        svc.index_local_path(src, "proj")
+        before = svc.search("beam search query function", top_k=3)
+
+        svc2 = IndexerService(svc.config, embedder=enc)
+        after = svc2.search("beam search query function", top_k=3)
+        assert [h["path"] for h in after] == [h["path"] for h in before]
+        from islands_tpu.models.provider import EncoderEmbeddingProvider
+
+        assert isinstance(svc2.indexes["proj"].provider, EncoderEmbeddingProvider)
+
+    def test_recompute_requires_encoder(self, tmp_path):
+        from islands_tpu.indexer.service import EmbeddingConfig
+
+        cfg = IndexerConfig(
+            base_path=str(tmp_path / "islands"),
+            embedding=EmbeddingConfig(kind="hash", recompute=True),
+        )
+        svc = IndexerService(cfg)
+        src = tmp_path / "proj"
+        make_tree(src, SAMPLE)
+        with pytest.raises(IndexingFailed):
+            svc.index_local_path(src, "proj")
+
+
 class TestWorkspaces:
     def test_crud_and_scoped_search(self, svc, tmp_path):
         for name, text in (("alpha", "alpha retrieval engine code"),

@@ -133,11 +133,12 @@ class TestSketchBuild:
         x = jnp.asarray(clustered(1024, 32, seed=3))
         cfg = LeannConfig(metric=metric, **CFG)
         g, sk = build_index_with_sketch(x, cfg)
-        assert sk.nbr_sketch.shape == (g.num_nodes, g.max_degree, sk.node_sketch.shape[1])
+        p4 = sk.node_sketch.shape[1]
+        assert sk.nbr_sketch.shape == (g.num_nodes, g.max_degree * p4)
         # Inline blocks must equal node_sketch rows gathered by neighbor id.
         nbrs = np.asarray(g.neighbors)
         ns = np.asarray(sk.node_sketch)
-        inline = np.asarray(sk.nbr_sketch)
+        inline = np.asarray(sk.nbr_sketch).reshape(g.num_nodes, g.max_degree, p4)
         valid = nbrs >= 0
         np.testing.assert_array_equal(inline[valid], ns[nbrs[valid]])
 
