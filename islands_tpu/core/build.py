@@ -719,6 +719,59 @@ def build_index_with_sketch(
     return graph, sketch_index
 
 
+def extend_graph(
+    neighbors0: Array,
+    degrees0: Array,
+    x_all_prepped: Array,
+    n_old: int,
+    config: LeannConfig,
+    entry_point: int,
+) -> tuple[Array, Array]:
+    """Append nodes [n_old, n) to an existing flat graph by construction
+    waves (the incremental-indexing hot path; reference inserts one vector at
+    a time, service.rs:610-676).
+
+    All structural sizes are power-of-two buckets — corpus padded to
+    `_bucket_size(n)`, wave width `_bucket_size(n_new)`-capped — so repeated
+    extends in the same bucket reuse cached executables instead of compiling
+    per corpus size (round-1 weakness: every append compiled fresh).
+
+    `x_all_prepped` is the FULL prepped corpus [n, d] (old + new); returns
+    (neighbors [n, m0], degrees [n]).
+    """
+    config.validate()
+    n = int(x_all_prepped.shape[0])
+    n_new = n - n_old
+    if n_new <= 0:
+        return neighbors0[:, : config.m0], degrees0
+    m0 = config.m0
+    bw = m0 + config.reverse_slack
+    n_pad = _bucket_size(n)
+    wave = min(config.wave_size, _bucket_size(n_new))
+    max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
+
+    neighbors = jnp.full((n_pad, bw), SENTINEL, dtype=jnp.int32)
+    neighbors = neighbors.at[:n_old, :m0].set(neighbors0[:, :m0])
+    degrees = jnp.zeros((n_pad,), dtype=jnp.int32).at[:n_old].set(degrees0)
+    x_padded = jnp.pad(x_all_prepped, ((0, n_pad + wave - n), (0, 0)))
+    count = jnp.int32(n)
+
+    s = n_old
+    while s < n:
+        neighbors, degrees, _ = wave_step(
+            neighbors, degrees, None, jnp.int32(s), jnp.int32(entry_point),
+            x_padded, count, None,
+            config=config, n=n_pad, wave=wave, buffer_width=bw,
+            max_iters=max_iters,
+        )
+        s += wave
+    neighbors, degrees, _ = _final_sweep(
+        neighbors, degrees, None, x_padded[:n_pad], m0, config.metric,
+        config.diversify,
+    )
+    return neighbors[:n, :m0], degrees[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("m0", "metric", "diversify"),

@@ -186,41 +186,25 @@ class HnswIndex:
             return self
         cfg0 = self.config.to_leann(0)
         x_all = jnp.concatenate([self.x, dist_ops.prep_corpus(new_x, self.config.metric)])
-        n = n_old + n_new
         new_levels = build_mod.sample_levels(
             n_new, self.config.ml, self.config.max_layers, self.config.seed + n_old
         )
         self.levels = np.concatenate([self.levels, new_levels])
 
-        # Re-pad layer 0 with slack, wave-insert the new ids, sweep, crop.
+        # Bucketed wave-append against the existing layer-0 graph: repeated
+        # extends within a structural bucket reuse cached executables.
+        neighbors, degrees = build_mod.extend_graph(
+            self.layer0.neighbors, self.layer0.degrees, x_all, n_old, cfg0,
+            self.entry_point,
+        )
         m0 = cfg0.m0
-        bw = m0 + cfg0.reverse_slack
-        neighbors = jnp.full((n, bw), SENTINEL, dtype=jnp.int32)
-        neighbors = neighbors.at[:n_old, :m0].set(self.layer0.neighbors)
-        degrees = jnp.concatenate(
-            [self.layer0.degrees, jnp.zeros((n_new,), jnp.int32)]
-        )
-        max_iters = 4 * max(cfg0.ef_construction // cfg0.expand_width, 1) + 16
-        wave = min(cfg0.wave_size, max(n_new, 1))
-        x_padded = jnp.pad(x_all, ((0, wave), (0, 0)))
-        s = n_old
-        while s < n:
-            neighbors, degrees, _ = build_mod.wave_step(
-                neighbors, degrees, None, jnp.int32(s),
-                jnp.int32(self.entry_point), x_padded, jnp.int32(n),
-                config=cfg0, n=n, wave=wave, buffer_width=bw, max_iters=max_iters,
-            )
-            s += wave
-        neighbors, degrees, _ = build_mod._final_sweep(
-            neighbors, degrees, None, x_all, m0, cfg0.metric, cfg0.diversify
-        )
         self.x = x_all
         # Recompute entry metadata from the merged levels BEFORE constructing
         # the graph so layer0's entry_point/max_level match its levels.
         self.max_level = int(self.levels.max())
         self.entry_point = int(np.argmax(self.levels == self.max_level))
         self.layer0 = CsrGraph(
-            neighbors=neighbors[:, :m0],
+            neighbors=neighbors,
             degrees=degrees,
             levels=jnp.asarray(self.levels),
             entry_point=jnp.int32(self.entry_point),

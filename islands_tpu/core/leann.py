@@ -126,6 +126,58 @@ class LeannIndex:
             self._train_pq(x, with_pq)
         return self
 
+    def extend(
+        self, provider: EmbeddingProvider, num_total: int | None = None
+    ) -> "LeannIndex":
+        """Append items [num_nodes, num_total) from `provider` to the graph
+        (incremental per-repo re-index; reference inserts one vector at a
+        time, service.rs:610-676). The provider must cover ALL items —
+        existing embeddings are recomputed for the duration of the append
+        (LEANN's temp-embedding contract) and dropped after. Bucketed wave
+        executables make repeated extends compile-free within a structural
+        bucket (build.extend_graph)."""
+        n_total = num_total if num_total is not None else provider.num_items
+        graph = self._require_graph()
+        n_old = graph.num_nodes
+        if n_total <= n_old:
+            return self
+        if n_old == 0:
+            return self.build(provider, n_total)
+        x_all = dist_ops.prep_corpus(
+            materialize_embeddings(provider, n_total), self.config.metric
+        )
+        neighbors, degrees = build_mod.extend_graph(
+            graph.neighbors, graph.degrees, x_all, n_old, self.config,
+            int(graph.entry_point),
+        )
+        old_levels = np.asarray(graph.levels)
+        new_levels = build_mod.sample_levels(
+            n_total - n_old, self.config.ml, self.config.max_layers,
+            self.config.seed + n_old,
+        )
+        levels = np.concatenate([old_levels, new_levels])
+        max_level = int(levels.max())
+        entry = int(np.argmax(levels == max_level))
+        self.graph = CsrGraph(
+            neighbors=neighbors,
+            degrees=degrees,
+            levels=jnp.asarray(levels),
+            entry_point=jnp.int32(entry),
+            max_level=jnp.int32(max_level),
+        )
+        if self.sketch is not None:
+            from islands_tpu.ops import proj as proj_ops
+
+            self.sketch = proj_ops.build_sketch_index(
+                x_all, self.graph.neighbors,
+                proj_dims=self.sketch.proj_dims, seed=self.config.seed,
+            )
+        self._init_routing()
+        if self.pq is not None:
+            self.pq_codes = self.pq.encode(x_all)
+        del x_all
+        return self
+
     def _init_routing(self) -> None:
         n = self.graph.num_nodes if self.graph is not None else 0
         if self.sketch is not None and n > 0:

@@ -264,6 +264,54 @@ def decode_pq_codes(data: bytes) -> np.ndarray:
     return arr.reshape(n, s).copy()
 
 
+_SKCH_HEADER = struct.Struct("<4sIQII")  # magic, ver, n, dim, proj_dims
+
+
+def encode_sketch(sketch) -> bytes:
+    """SketchIndex -> "SKCH" payload: scale f32 + W f32 [dim, P] + per-node
+    packed sketches i32 [n, P/4]. The inline neighbor blocks are NOT stored —
+    they are derived from (node_sketch, graph.neighbors) at load time, so the
+    on-disk sketch cost is P bytes/vector."""
+    w = np.asarray(sketch.w, dtype=np.float32)
+    node = np.asarray(sketch.node_sketch, dtype=np.int32)
+    dim, p = w.shape
+    buf = io.BytesIO()
+    buf.write(_SKCH_HEADER.pack(b"SKCH", FORMAT_VERSION, node.shape[0], dim, p))
+    buf.write(struct.pack("<f", float(sketch.scale)))
+    buf.write(np.ascontiguousarray(w, dtype="<f4").tobytes())
+    buf.write(np.ascontiguousarray(node, dtype="<i4").tobytes())
+    return buf.getvalue()
+
+
+def decode_sketch(data: bytes, neighbors):
+    """-> SketchIndex with inline neighbor blocks rebuilt row-aligned with
+    `neighbors` (int32 [n, m] device array)."""
+    import jax.numpy as jnp
+
+    from islands_tpu.ops.proj import PACK, SketchIndex
+
+    magic, ver, n, dim, p = _SKCH_HEADER.unpack_from(data)
+    if magic != b"SKCH":
+        raise StorageError(f"bad sketch magic {magic!r}")
+    off = _SKCH_HEADER.size
+    (scale,) = struct.unpack_from("<f", data, off)
+    off += 4
+    w = np.frombuffer(data, dtype="<f4", count=dim * p, offset=off).reshape(dim, p)
+    off += dim * p * 4
+    node = np.frombuffer(data, dtype="<i4", count=n * (p // PACK), offset=off)
+    node = node.reshape(n, p // PACK)
+    node_dev = jnp.asarray(node)
+    nbr = node_dev[jnp.clip(neighbors, 0, max(n - 1, 0))].reshape(
+        neighbors.shape[0], -1
+    )
+    return SketchIndex(
+        w=jnp.asarray(w.copy()),
+        scale=jnp.float32(scale),
+        node_sketch=node_dev,
+        nbr_sketch=nbr,
+    )
+
+
 # ---------------------------------------------------------------------------
 # High-level LeannIndex save/load
 # ---------------------------------------------------------------------------
@@ -298,6 +346,8 @@ def save_index(index, path: str | Path) -> int:
     if index.pq is not None and index.pq_codes is not None:
         w.write_chunk(b"PQCB", encode_pq_codebook(np.asarray(index.pq.codebook.centroids)))
         w.write_chunk(b"PQCD", encode_pq_codes(np.asarray(index.pq_codes)))
+    if getattr(index, "sketch", None) is not None:
+        w.write_chunk(b"SKCH", encode_sketch(index.sketch))
     data = buf.getvalue()
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_bytes(data)
@@ -347,4 +397,115 @@ def load_index(path: str | Path):
         pq._dimension = s * sd
         index.pq = pq
         index.pq_codes = jnp.asarray(codes)
+    if b"SKCH" in chunks:
+        index.sketch = decode_sketch(chunks[b"SKCH"], graph.neighbors)
+        index._init_routing()
+    return index
+
+
+# ---------------------------------------------------------------------------
+# HnswIndex save/load (reference serializes HnswGraph whole, hnsw.rs:507-514;
+# here the container gets one GRPH chunk per layer plus the stored vectors —
+# HNSW's storage contract keeps full embeddings, unlike LEANN)
+# ---------------------------------------------------------------------------
+
+
+def save_hnsw(index, path: str | Path) -> int:
+    """Serialize an HnswIndex (embeddings + layer 0 + upper layers + config).
+    Returns bytes written."""
+    import dataclasses as dc
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if index.layer0 is None:
+        raise StorageError("index is not built")
+    metric = getattr(index.config.metric, "value", str(index.config.metric))
+    meta = IndexMetadata.new(index.num_nodes, index.dimension or 0, metric)
+    cfg = dc.asdict(index.config)
+    cfg["metric"] = metric
+    meta.extra["config"] = cfg
+    meta.extra["num_upper_layers"] = len(index.layers)
+
+    buf = io.BytesIO()
+    w = IndexWriter(buf)
+    w.write_metadata(meta)
+    # layer0 is built with all-zero levels (to keep the flat sub-build from
+    # recursing); serialize it with the INDEX-level levels/entry so the
+    # loaded graph carries the true hierarchy metadata.
+    import jax.numpy as jnp
+
+    from islands_tpu.core.csr import CsrGraph as _CsrGraph
+
+    g0 = _CsrGraph(
+        neighbors=index.layer0.neighbors,
+        degrees=index.layer0.degrees,
+        levels=jnp.asarray(index.levels),
+        entry_point=jnp.int32(index.entry_point),
+        max_level=jnp.int32(index.max_level),
+    )
+    w.write_chunk(b"GRPH", encode_graph(g0, metric, index.dimension or 0))
+    # Stored vectors (prepped corpus): HNSW answers queries from these.
+    w.write_chunk(
+        b"EMBS", np.ascontiguousarray(np.asarray(index.x), dtype="<f4").tobytes()
+    )
+    for li, layer in enumerate(index.layers):
+        lbuf = io.BytesIO()
+        ids = np.asarray(layer.ids, dtype="<i4")
+        nbrs = np.asarray(layer.neighbors, dtype="<i4")
+        lbuf.write(struct.pack("<QI", ids.shape[0], nbrs.shape[1]))
+        lbuf.write(ids.tobytes())
+        lbuf.write(np.ascontiguousarray(nbrs).tobytes())
+        w.write_chunk(b"HL%02d" % li, lbuf.getvalue())
+    data = buf.getvalue()
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.replace(path)
+    return len(data)
+
+
+def load_hnsw(path: str | Path):
+    """Load an HnswIndex saved by `save_hnsw` (round-trip tested)."""
+    import jax.numpy as jnp
+
+    from islands_tpu.core.config import DistanceMetric, HnswConfig
+    from islands_tpu.core.csr import SENTINEL
+    from islands_tpu.core.hnsw import HnswIndex, HnswLayer
+
+    data = Path(path).read_bytes()
+    chunks = IndexReader(io.BytesIO(data)).read_all()
+    if b"META" not in chunks or b"GRPH" not in chunks or b"EMBS" not in chunks:
+        raise StorageError("missing META/GRPH/EMBS chunk")
+    meta = IndexMetadata.from_json(chunks[b"META"])
+    cfg_dict = dict(meta.extra.get("config", {}))
+    if cfg_dict:
+        cfg_dict["metric"] = DistanceMetric(cfg_dict.get("metric", "cosine"))
+        config = HnswConfig(**cfg_dict)
+    else:
+        config = HnswConfig()
+    index = HnswIndex(config)
+    graph, metric_name, dim = decode_graph(chunks[b"GRPH"])
+    n = graph.num_nodes
+    x = np.frombuffer(chunks[b"EMBS"], dtype="<f4").reshape(n, dim)
+    index.x = jnp.asarray(x.copy())
+    index.dimension = dim
+    index.layer0 = graph
+    index.levels = np.asarray(graph.levels)
+    index.max_level = int(graph.max_level)
+    index.entry_point = int(graph.entry_point)
+    index.layers = []
+    for li in range(int(meta.extra.get("num_upper_layers", 0))):
+        payload = chunks[b"HL%02d" % li]
+        n_l, m_l = struct.unpack_from("<QI", payload)
+        off = struct.calcsize("<QI")
+        ids = np.frombuffer(payload, dtype="<i4", count=n_l, offset=off).copy()
+        off += n_l * 4
+        nbrs = np.frombuffer(
+            payload, dtype="<i4", count=n_l * m_l, offset=off
+        ).reshape(n_l, m_l)
+        g2l = np.full(n, SENTINEL, dtype=np.int32)
+        g2l[ids] = np.arange(n_l, dtype=np.int32)
+        x_local = index.x[jnp.asarray(ids)]
+        index.layers.append(
+            HnswLayer(ids, jnp.asarray(nbrs.copy()), g2l, x_local)
+        )
     return index

@@ -113,6 +113,20 @@ class TestHnswIndex:
         idx = HnswIndex(FAST).extend(corpus[:100])
         assert idx.num_nodes == 100
 
+    def test_extend_same_bucket_no_recompile(self, corpus):
+        """Two successive extends inside one structural bucket must reuse the
+        cached wave executables (round-1 weakness: every append compiled
+        fresh; fixed by power-of-two bucketing in build.extend_graph)."""
+        from islands_tpu.core import build as build_mod
+
+        idx = HnswIndex(FAST).build(corpus[:300])
+        idx.extend(corpus[300:340])  # compiles the bucket's executables
+        before = build_mod.wave_step._cache_size()
+        idx.extend(corpus[340:380])  # same n-bucket (512), same wave bucket
+        idx.extend(corpus[380:420])
+        assert build_mod.wave_step._cache_size() == before
+        assert idx.num_nodes == 420
+
     def test_euclidean_metric(self, corpus):
         import dataclasses
 

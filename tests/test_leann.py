@@ -104,6 +104,27 @@ class TestBuild:
         assert built.graph.max_degree == 24
 
 
+class TestExtend:
+    def test_extend_recall_and_reachability(self, corpus, provider):
+        idx = LeannIndex(LeannConfig(**SMALL_CFG))
+        idx.build(provider, num_vectors=600)
+        idx.extend(provider)  # append the remaining N-600 items
+        assert idx.num_nodes == N
+        q = make_vectors(32, DIM, seed=41)
+        true_ids = true_topk(q, corpus, 10)
+        _, ids = idx.search(q, k=10, provider=provider, ef=96)
+        assert mean_recall(ids, true_ids) >= 0.9
+        assert np.any(ids >= 600)  # appended region reachable
+        idx.graph.validate()
+
+    def test_extend_noop_and_empty(self, corpus, provider):
+        idx = LeannIndex(LeannConfig(**SMALL_CFG))
+        idx.build(provider)
+        before = np.asarray(idx.graph.neighbors)
+        idx.extend(provider)  # num_total == num_nodes: no-op
+        np.testing.assert_array_equal(np.asarray(idx.graph.neighbors), before)
+
+
 class TestRecomputeSearch:
     def test_recall_matches_stored_search(self, built, corpus, provider):
         q = make_vectors(32, DIM, seed=99)

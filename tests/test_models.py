@@ -74,6 +74,99 @@ class TestBertForward:
         assert not np.allclose(norms, 1.0)
 
 
+class TestHFParity:
+    """Numerical parity vs transformers.BertModel on shared random weights:
+    a save_pretrained checkpoint loaded through load_hf_checkpoint must
+    reproduce HF's forward + mask-weighted mean pool + L2 norm within
+    float32 tolerance (reference forward semantics:
+    candle_provider.rs:353-507). Guards against silent layernorm/pooling/
+    transpose bugs that invariance tests cannot see."""
+
+    @pytest.fixture(scope="class")
+    def checkpoint(self, tmp_path_factory):
+        import torch
+        from transformers import BertConfig as HFBertConfig, BertModel
+
+        hf_cfg = HFBertConfig(
+            vocab_size=1024, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=128, type_vocab_size=2,
+        )
+        torch.manual_seed(0)
+        model = BertModel(hf_cfg)
+        model.eval()
+        d = tmp_path_factory.mktemp("hf_ckpt")
+        model.save_pretrained(str(d))
+        return model, d
+
+    def test_forward_parity(self, checkpoint):
+        import dataclasses as dc
+
+        import torch
+
+        from islands_tpu.models import bert as bert_mod
+
+        model, d = checkpoint
+        params, cfg = bert_mod.load_hf_checkpoint(d)
+        cfg = dc.replace(cfg, dtype="float32")
+
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, 1024, size=(4, 24)).astype(np.int64)
+        mask = np.ones((4, 24), dtype=np.int64)
+        mask[1, 16:] = 0
+        mask[3, 8:] = 0
+        ids = np.where(mask > 0, ids, 0)
+
+        with torch.no_grad():
+            hf_out = model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours_hidden = np.asarray(
+            bert_mod.bert_forward(
+                params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32), cfg
+            )
+        )
+        # Hidden states match everywhere the mask is on.
+        on = mask.astype(bool)
+        np.testing.assert_allclose(
+            ours_hidden[on], hf_out[on], atol=1e-4, rtol=1e-4
+        )
+
+        # Pooled + normalized embeddings match the reference pipeline.
+        m = mask[:, :, None].astype(np.float32)
+        hf_pooled = (hf_out * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+        hf_pooled = hf_pooled / np.maximum(
+            np.linalg.norm(hf_pooled, axis=-1, keepdims=True), 1e-12
+        )
+        ours = np.asarray(
+            bert_mod.encode(
+                params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+                cfg, normalize=True,
+            )
+        )
+        np.testing.assert_allclose(ours, hf_pooled, atol=1e-4, rtol=1e-4)
+
+    def test_loads_torch_bin_fallback(self, checkpoint, tmp_path):
+        import shutil
+
+        import jax
+        import torch
+
+        from islands_tpu.models import bert as bert_mod
+
+        model, d = checkpoint
+        d2 = tmp_path / "bin_ckpt"
+        d2.mkdir()
+        shutil.copy(d / "config.json", d2 / "config.json")
+        torch.save(model.state_dict(), d2 / "pytorch_model.bin")
+        params, cfg = bert_mod.load_hf_checkpoint(d2)
+        params2, _ = bert_mod.load_hf_checkpoint(d)
+        for a, b in zip(
+            jax.tree.leaves(params), jax.tree.leaves(params2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestPresets:
     def test_preset_dimensions(self):
         # reference dims: candle_provider.rs:41-117 / provider.rs:260-277

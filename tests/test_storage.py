@@ -157,6 +157,63 @@ class TestIndexRoundTrip:
         with pytest.raises(StorageError):
             save_index(LeannIndex(), tmp_path / "x.leann")
 
+    def test_sketch_round_trip(self, built, tmp_path):
+        """SKCH chunk: per-node sketches + projection persist; inline
+        neighbor blocks are rebuilt at load and the sketch-gated search
+        returns identical results."""
+        idx, x, prov = built
+        assert idx.sketch is not None  # n=300 > threshold -> built inline
+        path = tmp_path / "sk.leann"
+        save_index(idx, path)
+        idx2 = load_index(path)
+        assert idx2.sketch is not None
+        np.testing.assert_array_equal(
+            np.asarray(idx2.sketch.node_sketch), np.asarray(idx.sketch.node_sketch)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx2.sketch.nbr_sketch), np.asarray(idx.sketch.nbr_sketch)
+        )
+        np.testing.assert_allclose(
+            np.asarray(idx2.sketch.w), np.asarray(idx.sketch.w), rtol=1e-6
+        )
+        q = make_vectors(8, 32, seed=78)
+        d1, i1 = idx.search(q, k=5, provider=prov, ef=48, gate="sketch")
+        d2, i2 = idx2.search(q, k=5, provider=prov, ef=48, gate="sketch")
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+class TestHnswRoundTrip:
+    def test_round_trip_search_identical(self, tmp_path):
+        from islands_tpu.core.config import HnswConfig
+        from islands_tpu.core.hnsw import HnswIndex
+        from islands_tpu.core.storage import load_hnsw, save_hnsw
+
+        x = make_vectors(500, 24, seed=9)
+        cfg = HnswConfig(m=8, m0=16, ef_construction=48, wave_size=128,
+                         intra_wave_k=8, reverse_slack=8)
+        idx = HnswIndex(cfg).build(x)
+        path = tmp_path / "index.hnsw"
+        nbytes = save_hnsw(idx, path)
+        assert path.stat().st_size == nbytes
+        idx2 = load_hnsw(path)
+        assert idx2.num_nodes == idx.num_nodes
+        assert idx2.config == idx.config
+        assert idx2.entry_point == idx.entry_point
+        assert len(idx2.layers) == len(idx.layers)
+        q = make_vectors(8, 24, seed=80)
+        d1, i1 = idx.search(q, k=5, ef=64)
+        d2, i2 = idx2.search(q, k=5, ef=64)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+    def test_unbuilt_save_raises(self, tmp_path):
+        from islands_tpu.core.hnsw import HnswIndex
+        from islands_tpu.core.storage import save_hnsw
+
+        with pytest.raises(StorageError):
+            save_hnsw(HnswIndex(), tmp_path / "x.hnsw")
+
     def test_storage_under_5pct_of_raw(self, tmp_path):
         # The LEANN paper target (BASELINE.md): index < 5% of raw embeddings
         # at realistic scale. At n=2000, d=768: raw = 6.1 MB; graph m0=16
