@@ -1,23 +1,35 @@
-"""Sharded "archipelago" index: corpus partitioned by id range across a mesh.
+"""Sharded "archipelago" index: corpus partitioned across a device mesh.
 
 New capability with no reference equivalent (the reference scales by running
 multiple k8s pods over a shared filesystem, README.md:135-170; SURVEY.md §2.7)
 — here sharding is native jax.sharding:
 
-- build: each shard constructs its own proximity graph from its id-range slice
-  of the corpus; waves run on all shards simultaneously under shard_map (pure
-  data parallelism over ICI — construction needs no cross-shard traffic).
+- build: each shard constructs its own proximity graph from its slice of the
+  corpus; waves run on all shards simultaneously under shard_map (pure data
+  parallelism over ICI — construction needs no cross-shard traffic).
 - search: every shard beam-searches its local graph for all queries, then the
   per-shard top-k are all-gathered and merged to a global top-k (the on-device
   equivalent of the reference's MultiIndexSearcher merge, search.rs:185-254).
+  Three gates: "exact" (stored embeddings), "sketch" (two-level gated hop over
+  inline neighbor sketches, exact rescoring of promotions), and recompute
+  (caller-supplied exact scorer + per-shard provider ctx — LEANN's
+  graph-only deployment, sharded).
+- extend: balanced incremental append (new vectors spread across shards,
+  power-of-two-bucketed executables — the per-repo re-index path).
 - an optional "dp" mesh axis shards the query batch for throughput.
+
+Node identity: each shard carries a `gids [n_local]` local->global id table
+(not an offset), so shards can grow independently and global ids stay stable
+across extends.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-import math
+import io
+import json
+import struct
 
 import jax
 import jax.numpy as jnp
@@ -25,11 +37,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from islands_tpu.core.build import _prefix_entries, sample_levels, wave_body, _final_sweep
+from islands_tpu.core.build import (
+    _bucket_size,
+    _final_sweep,
+    _prefix_entries,
+    sample_levels,
+    wave_body,
+)
 from islands_tpu.core.config import DistanceMetric, LeannConfig
 from islands_tpu.core.csr import SENTINEL
-from islands_tpu.core.search import _search_one, make_stored_scorer
+from islands_tpu.core.search import (
+    _search_one,
+    _search_one_sketch_gated,
+    make_stored_scorer,
+    route_entries,
+)
 from islands_tpu.ops import distance as dist_ops
+from islands_tpu.ops import proj as proj_ops
 
 Array = jax.Array
 _INF = jnp.float32(jnp.inf)
@@ -44,9 +68,16 @@ class ShardedIndex:
     entries: Array  # [S] int32 local entry points
     x_prepped: Array  # [S, n_local, d] stored (prepped) embeddings
     counts: Array  # [S] int32 logical vectors per shard
-    offsets: Array  # [S] int32 global id offset per shard
+    gids: Array  # [S, n_local] int32 local -> global id (SENTINEL padding)
     mesh: Mesh
     metric: DistanceMetric
+    config: LeannConfig | None = None
+    # optional sketch state (sharded two-level gate)
+    sketch_w: Array | None = None  # [d, P] shared projection
+    sketch_scale: Array | None = None  # scalar
+    node_sketch: Array | None = None  # [S, n_local, P/4]
+    nbr_sketch: Array | None = None  # [S, n_local, m0*P/4]
+    routing: Array | None = None  # [S, R] local routing ids
 
     @property
     def num_shards(self) -> int:
@@ -56,19 +87,78 @@ class ShardedIndex:
     def n_local(self) -> int:
         return self.neighbors.shape[1]
 
+    @property
+    def num_vectors(self) -> int:
+        return int(jnp.sum(self.counts))
+
+    @property
+    def has_sketch(self) -> bool:
+        return self.nbr_sketch is not None
+
 
 def _shard_spec(mesh: Mesh, *rest: None) -> NamedSharding:
     return NamedSharding(mesh, P("shards", *rest))
+
+
+def _spec_like(x, axis="shards"):
+    return P(axis, *([None] * (np.ndim(x) - 1)))
+
+
+def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
+    """Derive per-shard sketch arrays (one shard_map gather pass)."""
+    d = index.x_prepped.shape[-1]
+    w = proj_ops.make_projection(d, proj_dims, seed)
+    mesh = index.mesh
+
+    # Global scale from shard 0's slice (representative sample).
+    proj0 = jnp.dot(index.x_prepped[0], w, preferred_element_type=jnp.float32)
+    scale = proj_ops.fit_scale(proj0)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("shards", None, None), P("shards", None, None), P(), P()),
+        out_specs=(P("shards", None, None), P("shards", None, None)),
+        check_vma=False,
+    )
+    def derive(xl, nbrs, w, scale):
+        xl, nbrs = xl[0], nbrs[0]
+        proj = jnp.dot(xl, w, preferred_element_type=jnp.float32)
+        node = proj_ops.quantize_pack(proj, scale)
+        n_l = xl.shape[0]
+        nbr = node[jnp.clip(nbrs, 0, n_l - 1)]
+        nbr = jnp.where((nbrs != SENTINEL)[:, :, None], nbr, 0)
+        return node[None], nbr.reshape(n_l, -1)[None]
+
+    node_sketch, nbr_sketch = jax.jit(derive)(
+        index.x_prepped, index.neighbors, w, scale
+    )
+    rng = np.random.default_rng(seed ^ 0xA5)
+    counts = np.asarray(index.counts)
+    routing = np.stack([
+        rng.integers(0, max(int(c), 1), size=256).astype(np.int32)
+        for c in counts
+    ])
+    index.sketch_w = w
+    index.sketch_scale = scale
+    index.node_sketch = node_sketch
+    index.nbr_sketch = nbr_sketch
+    index.routing = jax.device_put(routing, _shard_spec(mesh, None))
+    return index
 
 
 def build_sharded(
     x: np.ndarray,
     config: LeannConfig | None = None,
     mesh: Mesh | None = None,
+    with_sketch: bool | None = None,
 ) -> ShardedIndex:
     """Partition `x` [N, d] by id range over the mesh's 'shards' axis and
     build every shard's graph simultaneously (one shard_map'd wave step per
-    wave — all shards advance in lockstep; no cross-shard communication)."""
+    wave — all shards advance in lockstep; no cross-shard communication).
+
+    `with_sketch` (default: config.sketch_build) derives per-shard inline
+    neighbor sketches after the build for the gated search path."""
     config = config or LeannConfig()
     config.validate()
     if mesh is None:
@@ -83,6 +173,7 @@ def build_sharded(
     # Host-side shard prep: slice, pad, prep, per-shard level schedules.
     xs = np.zeros((s_count, n_local, d), dtype=np.float32)
     counts = np.zeros((s_count,), dtype=np.int32)
+    gids = np.full((s_count, n_local), SENTINEL, dtype=np.int32)
     levels = np.zeros((s_count, n_local), dtype=np.int32)
     entries_all = np.zeros((s_count, n_local + 1), dtype=np.int32)
     for si in range(s_count):
@@ -91,9 +182,15 @@ def build_sharded(
         counts[si] = c
         if c > 0:
             xs[si, :c] = np.asarray(x[lo:hi], dtype=np.float32)
+            gids[si, :c] = np.arange(lo, hi, dtype=np.int32)
         lv = sample_levels(n_local, config.ml, config.max_layers, config.seed + si)
         levels[si] = lv
-        entries_all[si] = _prefix_entries(lv)
+        # Mask padding rows out of the entry-point schedule (they have no
+        # edges and zero vectors; an entry there would start searches in
+        # garbage).
+        lv_masked = lv.copy()
+        lv_masked[c:] = -1
+        entries_all[si] = _prefix_entries(lv_masked)
 
     xp = np.asarray(
         jax.vmap(lambda a: dist_ops.prep_corpus(a, config.metric))(jnp.asarray(xs))
@@ -148,48 +245,10 @@ def build_sharded(
 
     # --- waves (same doubling schedule as the single-chip build) ---
     if w0 < n_local:
-        max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
-        step_cache: dict[int, object] = {}
-        s = w0
-        while s < n_local:
-            wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
-            if wave not in step_cache:
-                body = functools.partial(
-                    wave_body,
-                    config=config,
-                    n=n_local,
-                    wave=wave,
-                    buffer_width=bw,
-                    max_iters=max_iters,
-                )
-
-                def local_wave(nbrs, degs, entry, xl, count, start, _body=body):
-                    nb, dg, _ = _body(
-                        nbrs[0], degs[0], None, start, entry[0], xl[0], count[0]
-                    )
-                    return nb[None], dg[None]
-
-                step_cache[wave] = jax.jit(
-                    shard_map(
-                        local_wave,
-                        mesh=mesh,
-                        in_specs=(
-                            P("shards", None, None),
-                            P("shards", None),
-                            P("shards"),
-                            P("shards", None, None),
-                            P("shards"),
-                            P(),
-                        ),
-                        out_specs=(P("shards", None, None), P("shards", None)),
-                        check_vma=False,
-                    )
-                )
-            entry_wave = jax.device_put(entries_all[:, s].copy(), shard1)
-            neighbors, degrees = step_cache[wave](
-                neighbors, degrees, entry_wave, x_dev, counts_dev, jnp.int32(s)
-            )
-            s += wave
+        neighbors, degrees = _run_waves(
+            mesh, config, neighbors, degrees, x_dev, counts_dev,
+            entries_all, w0, n_local, bw, max_wave,
+        )
 
     # --- final sweep + crop per shard ---
     @functools.partial(
@@ -208,19 +267,239 @@ def build_sharded(
     neighbors, degrees = jax.jit(sweep)(neighbors, degrees, x_dev)
     neighbors = neighbors[:, :, :m0]
 
-    # Entry points: final prefix entry per shard (host-known).
-    entries = np.array([entries_all[si, n_local] for si in range(s_count)], dtype=np.int32)
-    offsets = (np.arange(s_count, dtype=np.int32) * n_local).astype(np.int32)
-    return ShardedIndex(
+    # Entry points: max-level node among the REAL rows of each shard (padding
+    # rows have no edges and garbage vectors; entering there would pollute
+    # results).
+    entries = np.zeros((s_count,), dtype=np.int32)
+    for si in range(s_count):
+        c = max(int(counts[si]), 1)
+        entries[si] = int(np.argmax(levels[si, :c]))
+    index = ShardedIndex(
         neighbors=neighbors,
         degrees=degrees,
         entries=jax.device_put(entries, shard1),
         x_prepped=jax.device_put(xp, shard3),
         counts=counts_dev,
-        offsets=jax.device_put(offsets, shard1),
+        gids=jax.device_put(gids, shard2),
         mesh=mesh,
         metric=config.metric,
+        config=config,
     )
+    if with_sketch is None:
+        with_sketch = config.sketch_build and d >= proj_ops.PACK
+    if with_sketch and d >= proj_ops.PACK:
+        pdims = min(config.sketch_dims, d)
+        pdims = max(pdims - pdims % proj_ops.PACK, proj_ops.PACK)
+        _sharded_sketch(index, pdims, config.seed)
+    return index
+
+
+def _run_waves(
+    mesh, config, neighbors, degrees, x_dev, counts_dev, entries_all,
+    s_start, n_struct, bw, max_wave, start_per_shard=None,
+):
+    """Run lockstep construction waves on all shards from s_start to
+    n_struct. `start_per_shard` (optional [S] int32) offsets each shard's
+    insertion cursor (extend path); entries_all [S, n_struct+1] provides
+    per-shard entry points."""
+    max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
+    step_cache: dict[int, object] = {}
+    shard1 = _shard_spec(mesh)
+    s = s_start
+    while s < n_struct:
+        wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
+        if wave not in step_cache:
+            body = functools.partial(
+                wave_body,
+                config=config,
+                n=n_struct,
+                wave=wave,
+                buffer_width=bw,
+                max_iters=max_iters,
+            )
+
+            def local_wave(nbrs, degs, entry, xl, count, start, _body=body):
+                nb, dg, _ = _body(
+                    nbrs[0], degs[0], None, start[0], entry[0], xl[0], count[0]
+                )
+                return nb[None], dg[None]
+
+            step_cache[wave] = jax.jit(
+                shard_map(
+                    local_wave,
+                    mesh=mesh,
+                    in_specs=(
+                        P("shards", None, None),
+                        P("shards", None),
+                        P("shards"),
+                        P("shards", None, None),
+                        P("shards"),
+                        P("shards"),
+                    ),
+                    out_specs=(P("shards", None, None), P("shards", None)),
+                    check_vma=False,
+                )
+            )
+        entry_wave = jax.device_put(entries_all[:, s].copy(), shard1)
+        if start_per_shard is None:
+            starts = np.full(entries_all.shape[0], s, dtype=np.int32)
+        else:
+            starts = (start_per_shard + s - s_start).astype(np.int32)
+        neighbors, degrees = step_cache[wave](
+            neighbors, degrees, entry_wave, x_dev, counts_dev,
+            jax.device_put(starts, shard1),
+        )
+        s += wave
+    return neighbors, degrees
+
+
+def extend_sharded(
+    index: ShardedIndex, new_x: np.ndarray
+) -> ShardedIndex:
+    """Balanced incremental append: new vectors are distributed across shards
+    (emptiest-first), inserted by lockstep construction waves against each
+    shard's existing graph, and assigned fresh global ids continuing from the
+    current maximum. Structural sizes are power-of-two-bucketed so repeated
+    extends reuse cached executables (the per-repo re-index hot path)."""
+    config = index.config or LeannConfig(metric=index.metric)
+    s_count = index.num_shards
+    n_new = int(new_x.shape[0])
+    if n_new == 0:
+        return index
+    d = index.x_prepped.shape[-1]
+    counts = np.asarray(index.counts).copy()
+    old_n_local = index.n_local
+    next_gid = int(np.max(np.asarray(index.gids))) + 1 if index.num_vectors else 0
+
+    # Emptiest-first distribution.
+    per_shard_new = np.zeros(s_count, dtype=np.int64)
+    order = np.argsort(counts)
+    base, rem = divmod(n_new, s_count)
+    per_shard_new[:] = base
+    per_shard_new[order[:rem]] += 1
+
+    new_count_max = int(np.max(counts + per_shard_new))
+    n_struct = max(_bucket_size(new_count_max), old_n_local)
+    m0 = config.m0
+    bw = m0 + config.reverse_slack
+    max_wave = min(config.wave_size, _bucket_size(max(int(per_shard_new.max()), 1)))
+
+    # Host-side re-pack: widen arrays to n_struct, append new rows at each
+    # shard's tail, prep, assign global ids.
+    xs = np.zeros((s_count, n_struct, d), dtype=np.float32)
+    xs[:, :old_n_local] = np.asarray(index.x_prepped)
+    gids = np.full((s_count, n_struct), SENTINEL, dtype=np.int32)
+    gids[:, :old_n_local] = np.asarray(index.gids)
+    new_counts = counts.copy()
+    pos = 0
+    xprep_new = np.asarray(
+        dist_ops.prep_corpus(jnp.asarray(new_x, jnp.float32), index.metric)
+    )
+    for si in np.argsort(counts):
+        take = int(per_shard_new[si])
+        if take == 0:
+            continue
+        c = int(counts[si])
+        xs[si, c : c + take] = xprep_new[pos : pos + take]
+        gids[si, c : c + take] = np.arange(next_gid + pos, next_gid + pos + take)
+        new_counts[si] = c + take
+        pos += take
+
+    nbrs_np = np.full((s_count, n_struct, bw), SENTINEL, dtype=np.int32)
+    nbrs_np[:, :old_n_local, :m0] = np.asarray(index.neighbors)
+    degs_np = np.zeros((s_count, n_struct), dtype=np.int32)
+    degs_np[:, :old_n_local] = np.asarray(index.degrees)
+
+    mesh = index.mesh
+    shard3 = _shard_spec(mesh, None, None)
+    shard2 = _shard_spec(mesh, None)
+    shard1 = _shard_spec(mesh)
+    x_dev = jax.device_put(
+        np.pad(xs, ((0, 0), (0, max_wave), (0, 0))), shard3
+    )
+    counts_dev = jax.device_put(new_counts.astype(np.int32), shard1)
+    neighbors = jax.device_put(nbrs_np, shard3)
+    degrees = jax.device_put(degs_np, shard2)
+
+    # Waves insert [start, start + new_max) per shard, masked by counts.
+    new_max = int(per_shard_new.max())
+    entries_host = np.asarray(index.entries)
+    entries_all = np.tile(entries_host[:, None], (1, n_struct + 1))
+    start_per_shard = counts.astype(np.int32)
+    # Lockstep waves: shard si inserts its own range starting at counts[si].
+    max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
+    step_cache: dict[int, object] = {}
+    s = 0
+    while s < new_max:
+        wave = max_wave
+        if wave not in step_cache:
+            body = functools.partial(
+                wave_body,
+                config=config,
+                n=n_struct,
+                wave=wave,
+                buffer_width=bw,
+                max_iters=max_iters,
+            )
+
+            def local_wave(nbrs, degs, entry, xl, count, start, _body=body):
+                nb, dg, _ = _body(
+                    nbrs[0], degs[0], None, start[0], entry[0], xl[0], count[0]
+                )
+                return nb[None], dg[None]
+
+            step_cache[wave] = jax.jit(
+                shard_map(
+                    local_wave,
+                    mesh=mesh,
+                    in_specs=(
+                        P("shards", None, None),
+                        P("shards", None),
+                        P("shards"),
+                        P("shards", None, None),
+                        P("shards"),
+                        P("shards"),
+                    ),
+                    out_specs=(P("shards", None, None), P("shards", None)),
+                    check_vma=False,
+                )
+            )
+        starts = (start_per_shard + s).astype(np.int32)
+        neighbors, degrees = step_cache[wave](
+            neighbors, degrees, jax.device_put(entries_host, shard1), x_dev,
+            counts_dev, jax.device_put(starts, shard1),
+        )
+        s += wave
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("shards", None, None), P("shards", None), P("shards", None, None)),
+        out_specs=(P("shards", None, None), P("shards", None)),
+        check_vma=False,
+    )
+    def sweep(nbrs, degs, xl):
+        nb, dg, _ = _final_sweep(
+            nbrs[0], degs[0], None, xl[0], m0, config.metric, config.diversify
+        )
+        return nb[None], dg[None]
+
+    neighbors, degrees = jax.jit(sweep)(neighbors, degrees, x_dev)
+
+    out = ShardedIndex(
+        neighbors=neighbors[:, :, :m0],
+        degrees=degrees,
+        entries=index.entries,
+        x_prepped=jax.device_put(xs, shard3),
+        counts=counts_dev,
+        gids=jax.device_put(gids, shard2),
+        mesh=mesh,
+        metric=index.metric,
+        config=config,
+    )
+    if index.has_sketch:
+        _sharded_sketch(out, index.sketch_w.shape[1], config.seed)
+    return out
 
 
 #: process-wide executable cache: searchers over the same mesh/metric/params
@@ -229,40 +508,116 @@ _ARCHIPELAGO_CACHE: dict[tuple, object] = {}
 
 
 class ArchipelagoSearcher:
-    """Mesh-wide search: per-shard beam search + all-gather top-k merge."""
+    """Mesh-wide search: per-shard beam search + all-gather top-k merge.
 
-    def __init__(self, index: ShardedIndex):
+    Gates:
+    - "exact": per-hop exact scoring over stored embeddings (round-1 path)
+    - "sketch": two-level gated hop (inline neighbor sketches, exact
+      rescoring of promotions) — requires the index's sketch state
+    - recompute: pass `exact_scorer`+`exact_ctx` (per-shard provider ctx,
+      leading axis = shards) to score by recomputation instead of stored
+      rows; combine with gate="sketch" for the two-level LEANN deployment.
+    """
+
+    def __init__(self, index: ShardedIndex, exact_scorer=None, exact_ctx=None,
+                 ctx_specs=None):
         self.index = index
+        self.exact_scorer = exact_scorer or make_stored_scorer(index.metric)
+        self.exact_ctx = exact_ctx if exact_ctx is not None else index.x_prepped
+        # Per-leaf partition specs for exact_ctx: default = leading 'shards'
+        # axis on every leaf. Recompute providers pass specs marking shared
+        # leaves (e.g. encoder params) as replicated P().
+        self.ctx_specs = (
+            ctx_specs
+            if ctx_specs is not None
+            else jax.tree.map(_spec_like, self.exact_ctx)
+        )
         self._cache = _ARCHIPELAGO_CACHE
 
-    def _make(self, k: int, ef: int, expand_width: int, max_iters: int):
+    def _make(self, k: int, ef: int, expand_width: int, max_iters: int,
+              gate: str):
         idx = self.index
         mesh = idx.mesh
         metric = idx.metric
+        scorer = self.exact_scorer
+        dim = int(idx.x_prepped.shape[-1])
+        ctx_specs = self.ctx_specs
 
-        def local_fn(q, nbrs, entry, xl, offset):
-            nbrs, entry, xl, offset = nbrs[0], entry[0], xl[0], offset[0]
-            scorer = make_stored_scorer(metric)
-            search = functools.partial(
-                _search_one,
-                neighbors=nbrs,
-                entry_point=entry,
-                scorer=scorer,
-                ef=ef,
-                expand_width=expand_width,
-                max_iters=max_iters,
+        def slice_ctx(ctx):
+            # Drop the leading shard axis of sharded leaves; replicated
+            # leaves (spec without 'shards') pass through whole.
+            return jax.tree.map(
+                lambda a, spec: a[0] if (len(spec) and spec[0] == "shards") else a,
+                ctx, ctx_specs,
             )
-            d_loc, i_loc = jax.vmap(lambda qi: search(qi, xl))(q)
-            d_loc, i_loc = d_loc[:, :k], i_loc[:, :k]
-            i_glob = jnp.where(i_loc >= 0, i_loc + offset, SENTINEL)
-            # Merge across shards: all-gather per-shard top-k, re-top-k.
-            dg = jax.lax.all_gather(d_loc, "shards")  # [S, b, k]
-            ig = jax.lax.all_gather(i_glob, "shards")
-            s_cnt = dg.shape[0]
-            dflat = dg.transpose(1, 0, 2).reshape(-1, s_cnt * k)
-            iflat = ig.transpose(1, 0, 2).reshape(-1, s_cnt * k)
-            neg, pos = jax.lax.top_k(-dflat, k)
-            return -neg, jnp.take_along_axis(iflat, pos, axis=1)
+
+        if gate == "sketch":
+            promote = max(8, min(2 * expand_width * 4, ef))
+
+            def local_fn(q, nbrs, entry, ctx, gids, count,
+                         node_sk, nbr_sk, routing, w, scale):
+                nbrs, entry, gids, count = nbrs[0], entry[0], gids[0], count[0]
+                node_sk, nbr_sk, routing = node_sk[0], nbr_sk[0], routing[0]
+                ctx = slice_ctx(ctx)
+                qs = proj_ops.sketch_query(q, w, scale)
+                ents = route_entries(qs, routing, node_sk, metric)
+                search = functools.partial(
+                    _search_one_sketch_gated,
+                    neighbors=nbrs,
+                    nbr_sketch=nbr_sk,
+                    node_sketch=node_sk,
+                    exact_scorer=scorer,
+                    metric=metric,
+                    dim=dim,
+                    ef=ef,
+                    aq_width=max(ef, 64),
+                    promote_width=promote,
+                    expand_width=expand_width,
+                    max_iters=max_iters,
+                )
+                d_loc, i_loc, _ = jax.vmap(
+                    lambda q1, s1, e1: search(q1, s1, ctx, scale, entry_point=e1)
+                )(q, qs, ents)
+                return _merge_topk(d_loc, i_loc, gids, count, k)
+
+            in_specs = (
+                P("dp", None),
+                P("shards", None, None),
+                P("shards"),
+                ctx_specs,
+                P("shards", None),
+                P("shards"),
+                P("shards", None, None),
+                P("shards", None, None),
+                P("shards", None),
+                P(),
+                P(),
+            )
+        else:
+
+            def local_fn(q, nbrs, entry, ctx, gids, count):
+                nbrs, entry, gids, count = nbrs[0], entry[0], gids[0], count[0]
+                ctx = slice_ctx(ctx)
+                search = functools.partial(
+                    _search_one,
+                    neighbors=nbrs,
+                    entry_point=entry,
+                    scorer=scorer,
+                    ef=ef,
+                    expand_width=expand_width,
+                    max_iters=max_iters,
+                )
+                d_loc, i_loc = jax.vmap(lambda qi: search(qi, ctx))(q)
+                return _merge_topk(d_loc, i_loc, gids, count, k)
+
+            in_specs = (
+                P("dp", None),
+                P("shards", None, None),
+                P("shards"),
+                ctx_specs,
+                P("shards", None),
+                P("shards"),
+            )
 
         # check_vma=False: the search carry mixes axes (graph varies over
         # 'shards', queries over 'dp'), which the varying-manual-axes checker
@@ -271,13 +626,7 @@ class ArchipelagoSearcher:
             shard_map(
                 local_fn,
                 mesh=mesh,
-                in_specs=(
-                    P("dp", None),
-                    P("shards", None, None),
-                    P("shards"),
-                    P("shards", None, None),
-                    P("shards"),
-                ),
+                in_specs=in_specs,
                 out_specs=(P("dp", None), P("dp", None)),
                 check_vma=False,
             )
@@ -290,20 +639,154 @@ class ArchipelagoSearcher:
         ef: int = 64,
         expand_width: int = 4,
         max_iters: int | None = None,
+        gate: str = "auto",
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]) with global ids.
         B must be divisible by the mesh 'dp' axis size."""
+        idx = self.index
         ef = max(ef, k)
+        if gate == "auto":
+            gate = "sketch" if idx.has_sketch else "exact"
+        if gate == "sketch" and not idx.has_sketch:
+            raise ValueError("index has no sketch state (gate='sketch')")
         if max_iters is None:
-            max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
-        key = (self.index.mesh, self.index.metric, k, ef, expand_width, max_iters)
+            if gate == "sketch":
+                promote = max(8, min(2 * expand_width * 4, ef))
+                max_iters = 8 * max(ef // promote, 1) + 32
+            else:
+                max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
+        key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
+               max_iters, gate)
         if key not in self._cache:
-            self._cache[key] = self._make(k, ef, expand_width, max_iters)
-        qp = dist_ops.prep_query(jnp.asarray(queries), self.index.metric)
+            self._cache[key] = self._make(k, ef, expand_width, max_iters, gate)
+        qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
+        if gate == "sketch":
+            return self._cache[key](
+                qp, idx.neighbors, idx.entries, self.exact_ctx, idx.gids,
+                idx.counts, idx.node_sketch, idx.nbr_sketch, idx.routing,
+                idx.sketch_w, idx.sketch_scale,
+            )
         return self._cache[key](
-            qp,
-            self.index.neighbors,
-            self.index.entries,
-            self.index.x_prepped,
-            self.index.offsets,
+            qp, idx.neighbors, idx.entries, self.exact_ctx, idx.gids, idx.counts
         )
+
+
+def _merge_topk(d_loc, i_loc, gids, count, k):
+    """Mask padding, map to global ids, all-gather per-shard top-k across the
+    'shards' axis and re-top-k (MultiIndexSearcher merge, search.rs:185-254,
+    on device)."""
+    d_loc, i_loc = d_loc[:, :k], i_loc[:, :k]
+    valid = (i_loc >= 0) & (i_loc < count)
+    d_loc = jnp.where(valid, d_loc, _INF)
+    n_l = gids.shape[0]
+    i_glob = jnp.where(valid, gids[jnp.clip(i_loc, 0, n_l - 1)], SENTINEL)
+    dg = jax.lax.all_gather(d_loc, "shards")  # [S, b, k]
+    ig = jax.lax.all_gather(i_glob, "shards")
+    s_cnt = dg.shape[0]
+    dflat = dg.transpose(1, 0, 2).reshape(-1, s_cnt * k)
+    iflat = ig.transpose(1, 0, 2).reshape(-1, s_cnt * k)
+    neg, pos = jax.lax.top_k(-dflat, k)
+    return -neg, jnp.take_along_axis(iflat, pos, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Persistence (tagged-chunk container, matching core/storage.py framing)
+# ---------------------------------------------------------------------------
+
+
+def save_sharded(index: ShardedIndex, path) -> int:
+    """Serialize a ShardedIndex (graphs + corpus + gids + sketch state).
+    The mesh is NOT stored — pass one at load time (topology is a runtime
+    property, not index data)."""
+    from pathlib import Path
+
+    from islands_tpu.core.storage import IndexWriter
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    buf = io.BytesIO()
+    w = IndexWriter(buf)
+    header = {
+        "version": 1,
+        "num_shards": index.num_shards,
+        "n_local": index.n_local,
+        "m0": int(index.neighbors.shape[2]),
+        "dim": int(index.x_prepped.shape[-1]),
+        "metric": getattr(index.metric, "value", str(index.metric)),
+        "has_sketch": bool(index.has_sketch),
+    }
+    w.write_chunk(b"SHRD", json.dumps(header).encode())
+
+    def arr_chunk(tag, a, dt):
+        w.write_chunk(tag, np.ascontiguousarray(np.asarray(a), dtype=dt).tobytes())
+
+    arr_chunk(b"NBRS", index.neighbors, "<i4")
+    arr_chunk(b"DEGS", index.degrees, "<i4")
+    arr_chunk(b"ENTR", index.entries, "<i4")
+    arr_chunk(b"CNTS", index.counts, "<i4")
+    arr_chunk(b"GIDS", index.gids, "<i4")
+    arr_chunk(b"EMBS", index.x_prepped, "<f4")
+    if index.has_sketch:
+        arr_chunk(b"SKW_", index.sketch_w, "<f4")
+        w.write_chunk(b"SKSC", struct.pack("<f", float(index.sketch_scale)))
+        arr_chunk(b"SKND", index.node_sketch, "<i4")
+        arr_chunk(b"SKNB", index.nbr_sketch, "<i4")
+        arr_chunk(b"SKRT", index.routing, "<i4")
+    data = buf.getvalue()
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.replace(path)
+    return len(data)
+
+
+def load_sharded(path, mesh: Mesh | None = None) -> ShardedIndex:
+    """Load a ShardedIndex onto `mesh` (shard count must match)."""
+    from pathlib import Path
+
+    from islands_tpu.core.storage import IndexReader, StorageError
+
+    if mesh is None:
+        from islands_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    data = Path(path).read_bytes()
+    chunks = IndexReader(io.BytesIO(data)).read_all()
+    if b"SHRD" not in chunks:
+        raise StorageError("missing SHRD header chunk")
+    h = json.loads(chunks[b"SHRD"])
+    s, n_l, m0, d = h["num_shards"], h["n_local"], h["m0"], h["dim"]
+    if mesh.shape["shards"] != s:
+        raise StorageError(
+            f"index has {s} shards, mesh has {mesh.shape['shards']}"
+        )
+
+    def arr(tag, dt, shape):
+        return np.frombuffer(chunks[tag], dtype=dt).reshape(shape).copy()
+
+    shard3 = _shard_spec(mesh, None, None)
+    shard2 = _shard_spec(mesh, None)
+    shard1 = _shard_spec(mesh)
+    index = ShardedIndex(
+        neighbors=jax.device_put(arr(b"NBRS", "<i4", (s, n_l, m0)), shard3),
+        degrees=jax.device_put(arr(b"DEGS", "<i4", (s, n_l)), shard2),
+        entries=jax.device_put(arr(b"ENTR", "<i4", (s,)), shard1),
+        x_prepped=jax.device_put(arr(b"EMBS", "<f4", (s, n_l, d)), shard3),
+        counts=jax.device_put(arr(b"CNTS", "<i4", (s,)), shard1),
+        gids=jax.device_put(arr(b"GIDS", "<i4", (s, n_l)), shard2),
+        mesh=mesh,
+        metric=DistanceMetric(h["metric"]),
+    )
+    if h.get("has_sketch"):
+        wmat = arr(b"SKW_", "<f4", (d, -1))
+        p = wmat.shape[1]
+        index.sketch_w = jnp.asarray(wmat)
+        (sc,) = struct.unpack("<f", chunks[b"SKSC"])
+        index.sketch_scale = jnp.float32(sc)
+        index.node_sketch = jax.device_put(
+            arr(b"SKND", "<i4", (s, n_l, p // proj_ops.PACK)), shard3
+        )
+        index.nbr_sketch = jax.device_put(
+            arr(b"SKNB", "<i4", (s, n_l, m0 * (p // proj_ops.PACK))), shard3
+        )
+        index.routing = jax.device_put(arr(b"SKRT", "<i4", (s, -1)), shard2)
+    return index

@@ -1,6 +1,7 @@
 """Sharded archipelago tests on the 8-virtual-device CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -65,3 +66,148 @@ def test_sharded_matches_exact_on_tiny_shards():
     ids, tids = np.asarray(ids), np.asarray(tids)
     for i in range(len(q)):
         assert set(ids[i].tolist()) == set(tids[i].tolist()), i
+
+
+def clustered(n, dim, seed=0, n_centers=16, sigma=0.8):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, dim)).astype(np.float32)
+    assign = rng.integers(0, n_centers, size=n)
+    return (centers[assign] + sigma * rng.normal(size=(n, dim))).astype(np.float32)
+
+
+def _recall(ids, tids):
+    k = tids.shape[1]
+    return np.mean([
+        len(set(ids[i].tolist()) & set(tids[i].tolist())) / k
+        for i in range(len(ids))
+    ])
+
+
+def test_sharded_sketch_gate_recall():
+    """Two-level sketch-gated search per shard matches the exact gate."""
+    n, dim, k = 1024, 32, 10
+    x = clustered(n, dim, seed=40)
+    q = clustered(32, dim, seed=41)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x, cfg, mesh, with_sketch=True)
+    assert idx.has_sketch
+
+    s = ArchipelagoSearcher(idx)
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    tids = np.asarray(tids)
+    _, ids_e = s.search(q, k=k, ef=64, gate="exact")
+    _, ids_s = s.search(q, k=k, ef=64, gate="sketch")
+    r_e, r_s = _recall(np.asarray(ids_e), tids), _recall(np.asarray(ids_s), tids)
+    assert r_s >= 0.85, (r_s, r_e)
+    assert r_s >= r_e - 0.05, (r_s, r_e)
+
+
+def test_sharded_recompute_search():
+    """Recompute gate: exact scoring goes through a provider scorer with a
+    per-shard ctx (sharded LEANN deployment), not stored rows."""
+    from islands_tpu.core.search import make_recompute_scorer
+
+    n, dim, k = 512, 16, 5
+    x = clustered(n, dim, seed=42)
+    q = clustered(16, dim, seed=43)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x, cfg, mesh, with_sketch=True)
+
+    # "Recompute" provider: per-shard raw embedding table + an embed_fn that
+    # looks rows up (stands in for the encoder; same contract).
+    def embed_fn(ctx, ids):
+        table = ctx
+        return table[jnp.clip(ids, 0, table.shape[0] - 1)]
+
+    scorer = make_recompute_scorer(embed_fn, cfg.metric)
+    searcher = ArchipelagoSearcher(
+        idx, exact_scorer=scorer, exact_ctx=idx.x_prepped
+    )
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    _, ids = searcher.search(q, k=k, ef=64, gate="sketch")
+    r = _recall(np.asarray(ids), np.asarray(tids))
+    assert r >= 0.85, r
+
+
+def test_sharded_extend():
+    from islands_tpu.parallel.sharded import extend_sharded
+
+    n0, n1, dim, k = 512, 256, 16, 5
+    x = clustered(n0 + n1, dim, seed=44)
+    q = clustered(16, dim, seed=45)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x[:n0], cfg, mesh)
+    idx2 = extend_sharded(idx, x[n0:])
+    assert idx2.num_vectors == n0 + n1
+    # global ids unique and dense
+    gids = np.asarray(idx2.gids)
+    real = gids[gids >= 0]
+    assert len(real) == n0 + n1
+    assert len(np.unique(real)) == n0 + n1
+
+    s = ArchipelagoSearcher(idx2)
+    _, ids = s.search(q, k=k, ef=64, gate="exact")
+    # NOTE: extend assigns new ids densely from the previous max, and the
+    # original build places ids in id-range order, so global id == corpus row
+    # here; recall is measured against the full corpus.
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    r = _recall(np.asarray(ids), np.asarray(tids))
+    assert r >= 0.85, r
+    assert np.any(np.asarray(ids) >= n0)  # appended region reachable
+
+
+def test_sharded_extend_reuses_executables():
+    from islands_tpu.core import build as build_mod
+    from islands_tpu.parallel.sharded import extend_sharded
+
+    n0, dim = 512, 16
+    x = clustered(n0 + 128, dim, seed=46)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x[:n0], cfg, mesh)
+    idx = extend_sharded(idx, x[n0 : n0 + 64])
+    # A second same-shape extend (same bucket sizes) adds no compilations of
+    # the shard_map'd wave: the searcher-level jit wrappers are cached per
+    # (wave, n_struct) inside extend_sharded... the cheap proxy is total time
+    # via the jitted wave_step cache (classic path shares it).
+    before = build_mod.wave_step._cache_size()
+    idx = extend_sharded(idx, x[n0 + 64 :])
+    assert build_mod.wave_step._cache_size() == before
+
+
+def test_sharded_save_load(tmp_path):
+    from islands_tpu.parallel.sharded import load_sharded, save_sharded
+
+    n, dim, k = 512, 16, 5
+    x = clustered(n, dim, seed=47)
+    q = clustered(8, dim, seed=48)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x, cfg, mesh, with_sketch=True)
+    p = tmp_path / "arch.shrd"
+    nbytes = save_sharded(idx, p)
+    assert p.stat().st_size == nbytes
+    idx2 = load_sharded(p, mesh)
+    assert idx2.num_vectors == idx.num_vectors
+    assert idx2.has_sketch
+    d1, i1 = ArchipelagoSearcher(idx).search(q, k=k, ef=48)
+    d2, i2 = ArchipelagoSearcher(idx2).search(q, k=k, ef=48)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_sharded_mesh_mismatch_raises(tmp_path):
+    from islands_tpu.core.storage import StorageError
+    from islands_tpu.parallel.sharded import load_sharded, save_sharded
+
+    x = clustered(256, 16, seed=49)
+    mesh8 = make_mesh(n_shards=8, n_dp=1)
+    idx = build_sharded(x, small_config(), mesh8)
+    p = tmp_path / "arch.shrd"
+    save_sharded(idx, p)
+    mesh4 = make_mesh(n_shards=4, n_dp=2)
+    with pytest.raises(StorageError):
+        load_sharded(p, mesh4)
