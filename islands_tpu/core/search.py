@@ -467,9 +467,13 @@ def _search_one_sketch_gated(
         worst = pool_dists[-1]
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
         # AQ distances are calibrated to the exact metric's scale
-        # (proj.sketch_distance_calibrated), so this cross-queue comparison
-        # is meaningful; calibration error only shifts the stopping point.
-        aq_work = (aq_dists[0] < _INF) & (aq_dists[0] <= worst)
+        # (proj.sketch_distance_calibrated) but carry JL + quantization
+        # noise; terminating the moment the AQ head exceeds the worst pooled
+        # distance would drop true neighbors whose sketches overestimate.
+        # Keep going while the head is within half the pool's spread — a
+        # scale-free noise margin (measured +recall at 1M, a few extra hops).
+        margin = 0.5 * (worst - pool_dists[0])
+        aq_work = (aq_dists[0] < _INF) & (aq_dists[0] <= worst + margin)
         return (exact_work | aq_work) & (it < max_iters)
 
     def body(state):
