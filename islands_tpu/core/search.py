@@ -111,6 +111,7 @@ def _prune_mask(
     keep: Array,
     pool_count: Array,
     it: Array,
+    salt: Array,
     *,
     strategy: PruningStrategy,
     prune_ratio: float,
@@ -139,12 +140,13 @@ def _prune_mask(
     deg = jnp.where(keep, degrees[jnp.clip(ids, 0, n - 1)], 0)
     total = jnp.maximum(jnp.sum(deg), 1)
     prob = deg.astype(jnp.float32) / total.astype(jnp.float32)
-    # Fold a data-dependent component in so vmapped queries draw independent
-    # uniforms (a static key would prune the same slots for every query).
-    per_query = ids[0]
+    # Fold a per-query salt in so vmapped queries draw independent uniforms
+    # (a static key would prune the same slots for every query; round 1 used
+    # ids[0], which collides whenever two queries' hops share their first
+    # sorted candidate — the salt is derived from the query vector itself).
     u = jax.random.uniform(
         jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(seed), it), per_query
+            jax.random.fold_in(jax.random.PRNGKey(seed), it), salt
         ),
         keep.shape,
     )
@@ -162,7 +164,8 @@ _PRUNE_FNS: dict = {}
 def make_prune_fn(
     strategy: PruningStrategy, prune_ratio: float, ef: int, seed: int = 0
 ):
-    """Cached pruning mask fn `(degrees, ids, keep, pool_count, it) -> keep`;
+    """Cached pruning mask fn
+    `(degrees, ids, keep, pool_count, it, salt) -> keep`;
     None when prune_ratio == 0 (score everything, leann.rs:999-1001). Pruned
     neighbors remain marked visited (leann.rs:933-937)."""
     if prune_ratio <= 0.0:
@@ -236,6 +239,9 @@ def _search_one(
 
     entry = jnp.maximum(entry_point, 0)
     d_entry = scorer(ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
+    # Per-query PRNG salt for the proportional pruning strategy (vmapped
+    # queries must draw independent accept masks).
+    salt = jax.lax.bitcast_convert_type(q[0], jnp.int32)
 
     pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
@@ -272,7 +278,7 @@ def _search_one(
 
         if prune_fn is not None:
             pool_count = jnp.sum((pool_dists < _INF).astype(jnp.int32))
-            keep = prune_fn(degrees, sorted_ids, keep, pool_count, it)
+            keep = prune_fn(degrees, sorted_ids, keep, pool_count, it, salt)
 
         # --- score ---
         new_dists = scorer(ctx, q, sorted_ids, keep)
