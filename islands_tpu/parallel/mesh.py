@@ -29,3 +29,33 @@ def make_mesh(
         )
     dev_array = np.asarray(devices[:used]).reshape(n_shards, n_dp)
     return Mesh(dev_array, axis_names=("shards", "dp"))
+
+
+def make_multislice_mesh(
+    n_slices: int,
+    shards_per_slice: int | None = None,
+    n_dp: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Create a (slice, shards, dp) mesh for multi-slice deployments.
+
+    The 'slice' axis is the DCN boundary: within a slice, collectives ride
+    ICI; across slices they cross the datacenter network. The archipelago
+    searcher merges hierarchically — per-shard top-k all-gathered over
+    'shards' (ICI) first, then only the per-slice top-k crosses 'slice'
+    (DCN), so cross-slice traffic is k results per query rather than the
+    full candidate traffic. Axis order follows jax's convention of putting
+    the slowest (DCN) axis first so contiguous device blocks share a slice.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if shards_per_slice is None:
+        shards_per_slice = len(devices) // (n_slices * n_dp)
+    used = n_slices * shards_per_slice * n_dp
+    if used > len(devices) or shards_per_slice < 1:
+        raise ValueError(
+            f"mesh needs {used} devices, only {len(devices)} available"
+        )
+    dev_array = np.asarray(devices[:used]).reshape(
+        n_slices, shards_per_slice, n_dp
+    )
+    return Mesh(dev_array, axis_names=("slice", "shards", "dp"))

@@ -96,12 +96,33 @@ class ShardedIndex:
         return self.nbr_sketch is not None
 
 
+def _shard_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the shard dimension spans: ('slice', 'shards') for
+    multi-slice meshes (make_multislice_mesh), else ('shards',)."""
+    return (
+        ("slice", "shards") if "slice" in mesh.axis_names else ("shards",)
+    )
+
+
+def _shard_count(mesh: Mesh) -> int:
+    return int(np.prod([mesh.shape[a] for a in _shard_axes(mesh)]))
+
+
 def _shard_spec(mesh: Mesh, *rest: None) -> NamedSharding:
-    return NamedSharding(mesh, P("shards", *rest))
+    return NamedSharding(mesh, P(_shard_axes(mesh), *rest))
 
 
-def _spec_like(x, axis="shards"):
-    return P(axis, *([None] * (np.ndim(x) - 1)))
+def _shard_p(mesh: Mesh, *rest) -> P:
+    return P(_shard_axes(mesh), *rest)
+
+
+def _spec_like_for(mesh: Mesh):
+    axes = _shard_axes(mesh)
+
+    def f(x):
+        return P(axes, *([None] * (np.ndim(x) - 1)))
+
+    return f
 
 
 def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
@@ -117,8 +138,8 @@ def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("shards", None, None), P("shards", None, None), P(), P()),
-        out_specs=(P("shards", None, None), P("shards", None, None)),
+        in_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None, None), P(), P()),
+        out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None, None)),
         check_vma=False,
     )
     def derive(xl, nbrs, w, scale):
@@ -165,7 +186,7 @@ def build_sharded(
         from islands_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    s_count = mesh.shape["shards"]
+    s_count = _shard_count(mesh)
     n = int(x.shape[0])
     d = int(x.shape[1])
     n_local = max(-(-n // s_count), config.m0 + 2)
@@ -218,8 +239,8 @@ def build_sharded(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("shards", None, None), P("shards", None), P("shards", None, None), P("shards")),
-        out_specs=(P("shards", None, None), P("shards", None)),
+        in_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None), P(_shard_axes(mesh), None, None), P(_shard_axes(mesh))),
+        out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
         check_vma=False,
     )
     def init_step(nbrs, degs, xl, count):
@@ -254,8 +275,8 @@ def build_sharded(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("shards", None, None), P("shards", None), P("shards", None, None)),
-        out_specs=(P("shards", None, None), P("shards", None)),
+        in_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None), P(_shard_axes(mesh), None, None)),
+        out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
         check_vma=False,
     )
     def sweep(nbrs, degs, xl):
@@ -329,14 +350,14 @@ def _run_waves(
                     local_wave,
                     mesh=mesh,
                     in_specs=(
-                        P("shards", None, None),
-                        P("shards", None),
-                        P("shards"),
-                        P("shards", None, None),
-                        P("shards"),
-                        P("shards"),
+                        P(_shard_axes(mesh), None, None),
+                        P(_shard_axes(mesh), None),
+                        P(_shard_axes(mesh)),
+                        P(_shard_axes(mesh), None, None),
+                        P(_shard_axes(mesh)),
+                        P(_shard_axes(mesh)),
                     ),
-                    out_specs=(P("shards", None, None), P("shards", None)),
+                    out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
                     check_vma=False,
                 )
             )
@@ -453,14 +474,14 @@ def extend_sharded(
                     local_wave,
                     mesh=mesh,
                     in_specs=(
-                        P("shards", None, None),
-                        P("shards", None),
-                        P("shards"),
-                        P("shards", None, None),
-                        P("shards"),
-                        P("shards"),
+                        P(_shard_axes(mesh), None, None),
+                        P(_shard_axes(mesh), None),
+                        P(_shard_axes(mesh)),
+                        P(_shard_axes(mesh), None, None),
+                        P(_shard_axes(mesh)),
+                        P(_shard_axes(mesh)),
                     ),
-                    out_specs=(P("shards", None, None), P("shards", None)),
+                    out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
                     check_vma=False,
                 )
             )
@@ -474,8 +495,8 @@ def extend_sharded(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("shards", None, None), P("shards", None), P("shards", None, None)),
-        out_specs=(P("shards", None, None), P("shards", None)),
+        in_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None), P(_shard_axes(mesh), None, None)),
+        out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
         check_vma=False,
     )
     def sweep(nbrs, degs, xl):
@@ -530,7 +551,7 @@ class ArchipelagoSearcher:
         self.ctx_specs = (
             ctx_specs
             if ctx_specs is not None
-            else jax.tree.map(_spec_like, self.exact_ctx)
+            else jax.tree.map(_spec_like_for(index.mesh), self.exact_ctx)
         )
         self._cache = _ARCHIPELAGO_CACHE
 
@@ -542,12 +563,22 @@ class ArchipelagoSearcher:
         scorer = self.exact_scorer
         dim = int(idx.x_prepped.shape[-1])
         ctx_specs = self.ctx_specs
+        # ICI merge first ('shards'), then DCN ('slice') with only top-k.
+        merge_axes = (
+            ("shards", "slice") if "slice" in mesh.axis_names else ("shards",)
+        )
+
+        def _is_sharded(spec):
+            if not len(spec):
+                return False
+            head = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+            return "shards" in head
 
         def slice_ctx(ctx):
             # Drop the leading shard axis of sharded leaves; replicated
             # leaves (spec without 'shards') pass through whole.
             return jax.tree.map(
-                lambda a, spec: a[0] if (len(spec) and spec[0] == "shards") else a,
+                lambda a, spec: a[0] if _is_sharded(spec) else a,
                 ctx, ctx_specs,
             )
 
@@ -578,18 +609,18 @@ class ArchipelagoSearcher:
                 d_loc, i_loc, _ = jax.vmap(
                     lambda q1, s1, e1: search(q1, s1, ctx, scale, entry_point=e1)
                 )(q, qs, ents)
-                return _merge_topk(d_loc, i_loc, gids, count, k)
+                return _merge_topk(d_loc, i_loc, gids, count, k, merge_axes)
 
             in_specs = (
                 P("dp", None),
-                P("shards", None, None),
-                P("shards"),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh)),
                 ctx_specs,
-                P("shards", None),
-                P("shards"),
-                P("shards", None, None),
-                P("shards", None, None),
-                P("shards", None),
+                P(_shard_axes(mesh), None),
+                P(_shard_axes(mesh)),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh), None),
                 P(),
                 P(),
             )
@@ -608,15 +639,15 @@ class ArchipelagoSearcher:
                     max_iters=max_iters,
                 )
                 d_loc, i_loc = jax.vmap(lambda qi: search(qi, ctx))(q)
-                return _merge_topk(d_loc, i_loc, gids, count, k)
+                return _merge_topk(d_loc, i_loc, gids, count, k, merge_axes)
 
             in_specs = (
                 P("dp", None),
-                P("shards", None, None),
-                P("shards"),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh)),
                 ctx_specs,
-                P("shards", None),
-                P("shards"),
+                P(_shard_axes(mesh), None),
+                P(_shard_axes(mesh)),
             )
 
         # check_vma=False: the search carry mixes axes (graph varies over
@@ -671,22 +702,27 @@ class ArchipelagoSearcher:
         )
 
 
-def _merge_topk(d_loc, i_loc, gids, count, k):
-    """Mask padding, map to global ids, all-gather per-shard top-k across the
-    'shards' axis and re-top-k (MultiIndexSearcher merge, search.rs:185-254,
-    on device)."""
+def _merge_topk(d_loc, i_loc, gids, count, k, axes=("shards",)):
+    """Mask padding, map to global ids, then hierarchically merge: all-gather
+    per-shard top-k over each shard axis in turn and re-top-k
+    (MultiIndexSearcher merge, search.rs:185-254, on device). For multi-slice
+    meshes `axes` is ("shards", "slice"): the 'shards' merge rides ICI and
+    only k results per query ever cross the DCN 'slice' axis."""
     d_loc, i_loc = d_loc[:, :k], i_loc[:, :k]
     valid = (i_loc >= 0) & (i_loc < count)
-    d_loc = jnp.where(valid, d_loc, _INF)
+    d = jnp.where(valid, d_loc, _INF)
     n_l = gids.shape[0]
-    i_glob = jnp.where(valid, gids[jnp.clip(i_loc, 0, n_l - 1)], SENTINEL)
-    dg = jax.lax.all_gather(d_loc, "shards")  # [S, b, k]
-    ig = jax.lax.all_gather(i_glob, "shards")
-    s_cnt = dg.shape[0]
-    dflat = dg.transpose(1, 0, 2).reshape(-1, s_cnt * k)
-    iflat = ig.transpose(1, 0, 2).reshape(-1, s_cnt * k)
-    neg, pos = jax.lax.top_k(-dflat, k)
-    return -neg, jnp.take_along_axis(iflat, pos, axis=1)
+    i = jnp.where(valid, gids[jnp.clip(i_loc, 0, n_l - 1)], SENTINEL)
+    for ax in axes:
+        dg = jax.lax.all_gather(d, ax)  # [A, b, k]
+        ig = jax.lax.all_gather(i, ax)
+        a_cnt = dg.shape[0]
+        dflat = dg.transpose(1, 0, 2).reshape(-1, a_cnt * k)
+        iflat = ig.transpose(1, 0, 2).reshape(-1, a_cnt * k)
+        neg, pos = jax.lax.top_k(-dflat, k)
+        d = -neg
+        i = jnp.take_along_axis(iflat, pos, axis=1)
+    return d, i
 
 
 # ---------------------------------------------------------------------------
@@ -755,7 +791,7 @@ def load_sharded(path, mesh: Mesh | None = None) -> ShardedIndex:
         raise StorageError("missing SHRD header chunk")
     h = json.loads(chunks[b"SHRD"])
     s, n_l, m0, d = h["num_shards"], h["n_local"], h["m0"], h["dim"]
-    if mesh.shape["shards"] != s:
+    if _shard_count(mesh) != s:
         raise StorageError(
             f"index has {s} shards, mesh has {mesh.shape['shards']}"
         )

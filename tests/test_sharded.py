@@ -211,3 +211,34 @@ def test_sharded_mesh_mismatch_raises(tmp_path):
     mesh4 = make_mesh(n_shards=4, n_dp=2)
     with pytest.raises(StorageError):
         load_sharded(p, mesh4)
+
+
+def test_multislice_mesh_hierarchical_merge():
+    """(slice, shards, dp) mesh: per-slice ICI merge then DCN merge of
+    top-k only. Results must equal the flat-mesh search."""
+    from islands_tpu.parallel.mesh import make_multislice_mesh
+
+    n, dim, k = 512, 16, 5
+    x = clustered(n, dim, seed=50)
+    q = clustered(16, dim, seed=51)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+
+    mesh_ms = make_multislice_mesh(n_slices=2, shards_per_slice=2, n_dp=2)
+    assert mesh_ms.axis_names == ("slice", "shards", "dp")
+    idx = build_sharded(x, cfg, mesh_ms, with_sketch=True)
+    assert idx.num_shards == 4
+    s = ArchipelagoSearcher(idx)
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    tids = np.asarray(tids)
+    for gate in ("exact", "sketch"):
+        _, ids = s.search(q, k=k, ef=64, gate=gate)
+        r = _recall(np.asarray(ids), tids)
+        assert r >= 0.85, (gate, r)
+
+    # extend works across the slice axis too
+    from islands_tpu.parallel.sharded import extend_sharded
+
+    idx2 = extend_sharded(idx, clustered(64, dim, seed=52))
+    assert idx2.num_vectors == n + 64
+    _, ids = ArchipelagoSearcher(idx2).search(q, k=k, ef=64, gate="exact")
+    assert np.all(np.asarray(ids) >= 0)
