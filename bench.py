@@ -153,7 +153,7 @@ def main():
     best = None
     for gate in ("sketch", "exact"):
         chosen = None
-        for ef in (32, 48, 64, 96, 128, 192, 256):
+        for ef in (24, 32, 48, 64, 96, 128, 192, 256):
             r = recall_of(run(ef, gate))
             if r >= TARGET_RECALL:
                 chosen = (ef, r)

@@ -31,6 +31,9 @@ class Config:
     mcp_port: int = 8080
     embedding_kind: str = "hash"  # "hash" | "encoder"
     embedding_model: str = "bge-small"
+    # LEANN recompute deployment: token table on disk, no [n, d] floats;
+    # search recomputes embeddings (requires embedding_kind="encoder").
+    embedding_recompute: bool = False
     chunk_size: int = 512
     chunk_overlap: int = 64
     # leann engine knobs (islands.example.yaml leann: block)
@@ -138,7 +141,8 @@ class Config:
             chunk_size=self.chunk_size,
             chunk_overlap=self.chunk_overlap,
             embedding=EmbeddingConfig(
-                kind=self.embedding_kind, model=self.embedding_model
+                kind=self.embedding_kind, model=self.embedding_model,
+                recompute=self.embedding_recompute,
             ),
             leann=LeannConfig(
                 m=self.leann_m,
@@ -148,6 +152,10 @@ class Config:
                 wave_size=512,
                 intra_wave_k=min(16, self.leann_m0),
                 reverse_slack=self.leann_m0,
+                # Real encoder embeddings live on a low-dim manifold, where
+                # the sketch-gated query holds exact-path recall (design.md
+                # §10); hash embeddings are near-uniform, keep exact.
+                sketch_query=(self.embedding_kind == "encoder"),
             ),
             pq=PQConfig(num_subquantizers=self.pq_subquantizers)
             if self.pq_enabled else None,
