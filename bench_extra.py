@@ -35,6 +35,18 @@ def _recall(ids, true_ids, k=10):
     ]))
 
 
+def _search_batched(idx, q, provider, ef, gate, bs):
+    """Recompute searches trace the encoder for the whole vmapped batch, so
+    the query batch bounds HBM (per-hop mode holds a [B, E, heads, L, L]
+    attention tensor); run in small batches."""
+    outs = []
+    for s in range(0, len(q), bs):
+        _, ids = idx.search(q[s : s + bs], k=10, provider=provider, ef=ef,
+                            gate=gate)
+        outs.append(np.asarray(ids))
+    return np.concatenate(outs)
+
+
 def config1_self_index():
     """Self-index the repo's own source with the on-TPU encoder (768-d
     bge-base-class shapes; BASELINE config 1)."""
@@ -47,11 +59,15 @@ def config1_self_index():
     from islands_tpu.models.provider import EncoderEmbeddingProvider
     from islands_tpu.ops import distance as dist_ops
 
-    files = collect_files("/root/repo", (".py", ".md", ".cpp", ".toml", ".yaml"))
+    files = collect_files("/root/repo", ("py", "md", "cpp", "toml", "yaml"))
     chunks = chunk_files(files, 512, 64)
     texts = [c.text for c in chunks]
     enc = TextEncoder.from_preset("bge-base", seed=0)
-    provider = EncoderEmbeddingProvider.from_texts(enc, texts, pad_to=128)
+    # Centered provider: random-init transformer embeddings are anisotropic
+    # (see models/provider._encoder_embed); centering restores contrast.
+    provider = EncoderEmbeddingProvider.from_texts(
+        enc, texts, pad_to=128
+    ).with_center()
     n = provider.num_items
 
     cfg = LeannConfig(
@@ -70,21 +86,22 @@ def config1_self_index():
 
     emb = materialize_embeddings(provider, n)
     qn = min(256, n)
-    q = emb[:qn]
-    _, true_ids = dist_ops.brute_force_topk(q, emb, 10, cfg.metric)
+    q = np.asarray(emb[:qn])
+    _, true_ids = dist_ops.brute_force_topk(jnp.asarray(q), emb, 10, cfg.metric)
     true_ids = np.asarray(true_ids)
 
-    _, ids = idx.search(np.asarray(q), k=10, provider=provider, ef=64)
-    rec = _recall(np.asarray(ids), true_ids)
+    bs, ef = 32, 96
+    ids = _search_batched(idx, q, provider, ef, "auto", bs)
+    rec = _recall(ids, true_ids)
     t0 = time.perf_counter()
-    for _ in range(3):
-        d, ids2 = idx.search(np.asarray(q), k=10, provider=provider, ef=64)
-    qps = qn / ((time.perf_counter() - t0) / 3)
+    _search_batched(idx, q, provider, ef, "auto", bs)
+    qps = qn / (time.perf_counter() - t0)
     return {
         "metric": "config1_self_index_768d",
         "n_chunks": n,
         "recall_at_10": round(rec, 4),
         "qps": round(qps, 1),
+        "ef": ef,
         "build_seconds": round(build_s, 2),
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / max(n, 1), 1),
@@ -119,7 +136,7 @@ def config3_recompute_100k():
     lens = rng.integers(L // 2, L + 1, size=N)
     mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
     token_ids = (token_ids * mask).astype(np.int32)
-    provider = EncoderEmbeddingProvider(enc, token_ids, mask)
+    provider = EncoderEmbeddingProvider(enc, token_ids, mask).with_center()
 
     cfg = LeannConfig(
         metric=DistanceMetric.COSINE, wave_size=4096, sketch_query=True
@@ -131,7 +148,7 @@ def config3_recompute_100k():
     build_s = time.perf_counter() - t0
 
     emb = materialize_embeddings(provider, N)
-    qn = 512
+    qn = 256
     q = np.asarray(emb[:qn])
     _, true_ids = dist_ops.brute_force_topk(
         jnp.asarray(q), emb, 10, cfg.metric, batch=131072
@@ -142,18 +159,25 @@ def config3_recompute_100k():
     out = {"metric": "config3_recompute_131072", "n_chunks": N,
            "build_seconds": round(build_s, 2),
            "index_bytes_per_vector": round(idx.storage_bytes() / N, 1)}
-    for gate, label in (("sketch", "gated"), ("none", "per_hop")):
+    # Per-hop recompute encodes every unpruned neighbor (the reference's
+    # loop, leann.rs:899-988): [B, E, heads, L, L] attention bounds the
+    # batch to ~16 queries and costs ~E/promote_width more encoder FLOPs
+    # than the gated loop — that asymmetry IS the result being measured.
+    for gate, label, bs, nq in (
+        ("sketch", "gated", 64, qn), ("none", "per_hop", 16, 32)
+    ):
         ef = 64
         idx.last_recompute_fraction = None
-        _, ids = idx.search(q, k=10, provider=provider, ef=ef, gate=gate)
-        rec = _recall(np.asarray(ids), true_ids)
+        ids = _search_batched(idx, q[:nq], provider, ef, gate, bs)
+        rec = _recall(ids, true_ids[:nq])
         t0 = time.perf_counter()
-        d, ids2 = idx.search(q, k=10, provider=provider, ef=ef, gate=gate)
-        qps = qn / (time.perf_counter() - t0)
+        _search_batched(idx, q[:nq], provider, ef, gate, bs)
+        qps = nq / (time.perf_counter() - t0)
         out[label] = {
             "recall_at_10": round(rec, 4),
             "qps": round(qps, 1),
             "ef": ef,
+            "n_queries": nq,
             # per-hop loop doesn't count recomputes (reference dead-codes the
             # metric too, leann.rs:974-981); only gated paths report it
             "recompute_fraction": (

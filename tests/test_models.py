@@ -262,3 +262,64 @@ class TestEncoderProvider:
         assert ids.shape == (1, 5)
         # exact-match text should be found (recompute distances are exact)
         assert 3 in ids[0].tolist()
+
+
+class TestCenteredProvider:
+    def test_with_center_restores_contrast(self, enc):
+        """Transformer embeddings are anisotropic; the centered provider must
+        subtract the corpus mean (and skip the in-encode norm) so metric prep
+        sees full contrast."""
+        rng = np.random.default_rng(0)
+        protos = rng.integers(1, 1000, size=(4, 24))
+        assign = rng.integers(0, 4, size=64)
+        ids = protos[assign].copy()
+        noise = rng.random((64, 24)) < 0.25
+        ids[noise] = rng.integers(1, 1000, size=int(noise.sum()))
+        mask = np.ones((64, 24), np.int32)
+        prov = EncoderEmbeddingProvider(enc, ids, mask)
+        cprov = prov.with_center()
+        emb = prov.compute_embeddings_batch(np.arange(64))
+        cemb = cprov.compute_embeddings_batch(np.arange(64))
+        # centered = raw-unnormalized minus mean
+        np.testing.assert_allclose(
+            cemb.mean(axis=0), np.zeros(enc.dimension), atol=1e-4
+        )
+        # cosine contrast (same-cluster minus cross-cluster separation) must
+        # improve after centering
+        def sep(e):
+            en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+            sims = en @ en.T
+            same = (assign[:, None] == assign[None, :]) & ~np.eye(64, dtype=bool)
+            cross = ~same & ~np.eye(64, dtype=bool)
+            return sims[same].mean() - sims[cross].mean()
+
+        assert sep(cemb) > sep(emb) + 0.05
+
+    def test_centered_recompute_search_consistent(self, enc):
+        """LeannIndex built + searched through a centered provider matches
+        brute force over the centered embeddings."""
+        from islands_tpu.core.leann import LeannIndex
+        from islands_tpu.ops import distance as dist_ops
+
+        rng = np.random.default_rng(1)
+        protos = rng.integers(1, 1000, size=(8, 24))
+        ids = protos[rng.integers(0, 8, size=400)].copy()
+        noise = rng.random((400, 24)) < 0.25
+        ids[noise] = rng.integers(1, 1000, size=int(noise.sum()))
+        mask = np.ones((400, 24), np.int32)
+        cprov = EncoderEmbeddingProvider(enc, ids, mask).with_center()
+        cfg = LeannConfig(m=8, m0=16, ef_construction=48, wave_size=128,
+                          intra_wave_k=8, reverse_slack=8)
+        idx = LeannIndex(cfg).build(cprov)
+        emb = cprov.compute_embeddings_batch(np.arange(400))
+        q = emb[:16]
+        _, tids = dist_ops.brute_force_topk(
+            jnp.asarray(q), jnp.asarray(emb), 5, cfg.metric
+        )
+        _, got = idx.search(q, k=5, provider=cprov, ef=64)
+        tids = np.asarray(tids)
+        rec = np.mean([
+            len(set(got[i].tolist()) & set(tids[i].tolist())) / 5
+            for i in range(16)
+        ])
+        assert rec >= 0.9, rec
