@@ -330,6 +330,52 @@ class LeannIndex:
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])
         return (dists[0], ids[0]) if single else (dists, ids)
 
+    # -- search: exhaustive PQ scan + exact rerank -------------------------
+
+    def search_pq_scan(
+        self,
+        queries,
+        k: int,
+        provider: EmbeddingProvider,
+        rerank: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Graph-free search: ADC-scan ALL PQ codes (Pallas one-hot-matmul
+        kernel on TPU, ops/pallas_kernels.adc_scan), take the `rerank` best
+        approximate candidates, exact-score them through `provider`, return
+        top-k. O(n*S) table lookups as MXU matmuls — the fast path for
+        small/medium corpora where a full scan beats graph traversal, and a
+        recall-floor diagnostic for the graph paths. Requires
+        build(..., with_pq=...)."""
+        graph = self._require_graph()
+        del graph
+        if self.pq is None or self.pq_codes is None:
+            raise IndexNotBuilt("PQ scan requires PQ (build with with_pq=)")
+        from islands_tpu.core.pq import pq_scan
+
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        self._check_dim(q.shape[1])
+        rerank = rerank or max(4 * k, 32)
+        rerank = min(rerank, self.num_nodes)
+
+        d_approx = pq_scan(self.pq, q, self.pq_codes, metric=self.config.metric)
+        _, cand = jax.lax.top_k(-d_approx, rerank)  # [B, rerank]
+
+        scorer = make_recompute_scorer(provider.embed_fn, self.config.metric)
+        qp = dist_ops.prep_query(q, self.config.metric)
+        d_exact = jax.vmap(
+            lambda q1, ids1: scorer(
+                provider.embed_ctx, q1, ids1, jnp.ones_like(ids1, dtype=bool)
+            )
+        )(qp, cand)
+        neg, pos = jax.lax.top_k(-d_exact, k)
+        ids = jnp.take_along_axis(cand, pos, axis=1)
+        self.last_recompute_fraction = rerank / max(self.num_nodes, 1)
+        dists, ids = np.asarray(-neg), np.asarray(ids)
+        return (dists[0], ids[0]) if single else (dists, ids)
+
     # -- helpers -----------------------------------------------------------
 
     def _require_graph(self) -> CsrGraph:

@@ -104,6 +104,23 @@ class TestBuild:
         assert built.graph.max_degree == 24
 
 
+class TestPqScanSearch:
+    def test_pq_scan_recall_and_rerank(self, built, corpus, provider):
+        q = make_vectors(32, DIM, seed=55)
+        true_ids = true_topk(q, corpus, 10)
+        d, ids = built.search_pq_scan(q, k=10, provider=provider, rerank=64)
+        assert mean_recall(ids, true_ids) >= 0.9
+        assert np.all(np.diff(d, axis=1) >= -1e-6)  # exact dists, ascending
+        assert built.last_recompute_fraction == pytest.approx(64 / N)
+
+    def test_pq_scan_requires_pq(self, corpus, provider):
+        idx = LeannIndex(LeannConfig(**SMALL_CFG))
+        idx.build(provider)  # no with_pq
+        with pytest.raises(IndexNotBuilt):
+            idx.search_pq_scan(np.zeros((1, DIM), np.float32), k=3,
+                               provider=provider)
+
+
 class TestExtend:
     def test_extend_recall_and_reachability(self, corpus, provider):
         idx = LeannIndex(LeannConfig(**SMALL_CFG))
