@@ -139,7 +139,8 @@ def config3_recompute_100k():
     provider = EncoderEmbeddingProvider(enc, token_ids, mask).with_center()
 
     cfg = LeannConfig(
-        metric=DistanceMetric.COSINE, wave_size=4096, sketch_query=True
+        metric=DistanceMetric.COSINE, wave_size=4096, sketch_query=True,
+        sketch_dims=32,
     )
     idx = LeannIndex(cfg)
     t0 = time.perf_counter()
@@ -163,10 +164,9 @@ def config3_recompute_100k():
     # loop, leann.rs:899-988): [B, E, heads, L, L] attention bounds the
     # batch to ~16 queries and costs ~E/promote_width more encoder FLOPs
     # than the gated loop — that asymmetry IS the result being measured.
-    for gate, label, bs, nq in (
-        ("sketch", "gated", 64, qn), ("none", "per_hop", 16, 32)
+    for gate, label, bs, nq, ef in (
+        ("sketch", "gated", 64, qn, 96), ("none", "per_hop", 16, 32, 64)
     ):
-        ef = 64
         idx.last_recompute_fraction = None
         ids = _search_batched(idx, q[:nq], provider, ef, gate, bs)
         rec = _recall(ids, true_ids[:nq])

@@ -912,8 +912,19 @@ class StoredSearcher:
                 max_iters=8 * max(ef // promote, 1) + 32,
             )
             return d, ids
+        entry = self.graph.entry_point
+        if self.sketch is not None:
+            # Routing entries help the exact gate too: start each query at
+            # its nearest routing node by sketch distance (one small matmul)
+            # instead of the single global entry.
+            from islands_tpu.ops import proj as proj_ops
+
+            qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
+            entry = route_entries(
+                qs, self._routing, self.sketch.node_sketch, self.metric
+            )
         dists, ids = batched_search(
-            qp, self.x_prepped, self.graph.neighbors, self.graph.entry_point,
+            qp, self.x_prepped, self.graph.neighbors, entry,
             scorer=self._scorer, ef=ef, expand_width=expand_width,
             max_iters=max_iters,
         )
