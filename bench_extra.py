@@ -228,8 +228,9 @@ def config4_pq_1m_768():
 
     provider = InMemoryEmbeddingProvider(x)
     chosen = None
-    for ef in (48, 64, 96, 128):
-        _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider, ef=ef)
+    for ef in (96, 128, 192, 256):
+        _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider,
+                                      ef=ef, rerank_ratio=0.25)
         rec = _recall(np.asarray(ids), true_ids)
         if rec >= 0.9:
             chosen = (ef, rec)
@@ -238,7 +239,8 @@ def config4_pq_1m_768():
         chosen = (ef, rec)
     ef, rec = chosen
     t0 = time.perf_counter()
-    d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider, ef=ef)
+    d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider,
+                                   ef=ef, rerank_ratio=0.25)
     qps = NQ / (time.perf_counter() - t0)
     return {
         "metric": "config4_pq_two_level_1Mx768",

@@ -380,7 +380,12 @@ def load_index(path: str | Path):
         cfg_dict["pruning_strategy"] = PruningStrategy(
             cfg_dict.get("pruning_strategy", "global")
         )
-        config = LeannConfig(**cfg_dict)
+        # Forward compatibility: ignore config keys from older format
+        # revisions (e.g. round 1's pq_build flags).
+        import dataclasses as _dc
+
+        known = {f.name for f in _dc.fields(LeannConfig)}
+        config = LeannConfig(**{k: v for k, v in cfg_dict.items() if k in known})
     else:
         config = LeannConfig()
     index = LeannIndex(config)
@@ -479,7 +484,10 @@ def load_hnsw(path: str | Path):
     cfg_dict = dict(meta.extra.get("config", {}))
     if cfg_dict:
         cfg_dict["metric"] = DistanceMetric(cfg_dict.get("metric", "cosine"))
-        config = HnswConfig(**cfg_dict)
+        import dataclasses as _dc
+
+        known = {f.name for f in _dc.fields(HnswConfig)}
+        config = HnswConfig(**{k: v for k, v in cfg_dict.items() if k in known})
     else:
         config = HnswConfig()
     index = HnswIndex(config)
