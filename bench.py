@@ -87,10 +87,15 @@ def main():
     from islands_tpu.core.build import build_index_with_sketch
 
     metric = DistanceMetric.EUCLIDEAN
-    # Paper graph params; 32-d sketches (halved JL noise vs the 16-d
-    # default) pay off at 1M-scale neighbor density for both construction
-    # candidate quality and the gated query path.
-    cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=32)
+    # Paper graph degree (m0=60); 32-d sketches (halved JL noise vs the
+    # 16-d default) pay off at 1M-scale neighbor density for construction
+    # candidate quality and the gated query path. ef_construction=64: with
+    # the 2x over-provisioned exact-rescored pool (sketch_pool_mult) the
+    # effective candidate set is 128, and 1M-scale recall measured equal to
+    # efc=128 at 1.4x the build throughput.
+    cfg = LeannConfig(
+        metric=metric, wave_size=4096, sketch_dims=32, ef_construction=64
+    )
 
     x, queries = make_bench_corpus(N, DIM, N_QUERIES)
 

@@ -789,13 +789,21 @@ def _final_sweep(
         nbrs, degs, sk = state
         ids = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
         ids = jnp.where(ids < n, ids, n)
-        # Only rows over m0 need work, but repairing a clean row is a no-op
-        # (it re-sorts to the same nearest-m0 set); repair the whole chunk.
-        needs = degs[jnp.clip(ids, 0, n - 1)] > m0
-        ids = jnp.where(needs & (ids < n), ids, n)
-        return _repair_rows(
-            nbrs, degs, ids, x_prepped, m0, metric, diversify,
-            nbr_sketch=sk, w=w, scale=scale,
+        needs = (degs[jnp.clip(ids, 0, n - 1)] > m0) & (ids < n)
+        ids = jnp.where(needs, ids, n)
+
+        def repair(args):
+            nbrs, degs, sk = args
+            return _repair_rows(
+                nbrs, degs, ids, x_prepped, m0, metric, diversify,
+                nbr_sketch=sk, w=w, scale=scale,
+            )
+
+        # Per-wave repairs already clean most rows; skipping clean chunks
+        # (cond executes only the taken branch) saves the chunk's [C, BW, d]
+        # embedding gather — most of the sweep's cost at large n.
+        return jax.lax.cond(
+            jnp.any(needs), repair, lambda args: args, (nbrs, degs, sk)
         )
 
     return jax.lax.fori_loop(0, num_chunks, body, (neighbors, degrees, nbr_sketch))
