@@ -230,8 +230,6 @@ class LeannIndex:
             return (out[0][0], out[1][0]) if single else out
         ef = max(ef if ef is not None else self.config.ef_search, k)
         expand_width = expand_width or self.config.expand_width
-        if max_iters is None:
-            max_iters = default_max_iters(ef, expand_width)
 
         scorer = make_recompute_scorer(provider.embed_fn, self.config.metric)
         if gate == "auto":
@@ -249,6 +247,8 @@ class LeannIndex:
             qp = dist_ops.prep_query(q, self.config.metric)
             qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
             promote = max(8, min(2 * expand_width * 4, ef))
+            if max_iters is None:  # gate-appropriate default, caller wins
+                max_iters = 8 * max(ef // promote, 1) + 32
             dists, ids, n_exact = batched_sketch_gated_query(
                 qp, qs, provider.embed_ctx, self.sketch.scale,
                 graph.neighbors, self.sketch.nbr_sketch,
@@ -256,13 +256,15 @@ class LeannIndex:
                 exact_scorer=scorer, metric=self.config.metric,
                 dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
-                max_iters=8 * max(ef // promote, 1) + 32,
+                max_iters=max_iters,
             )
             self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(
                 self.num_nodes, 1
             )
             dists, ids = np.asarray(dists), np.asarray(ids)
             return (dists[0], ids[0]) if single else (dists, ids)
+        if max_iters is None:
+            max_iters = default_max_iters(ef, expand_width)
         prune = make_prune_fn(
             self.config.pruning_strategy, self.config.prune_ratio, ef,
             seed=self.config.seed,
@@ -358,7 +360,10 @@ class LeannIndex:
             q = q[None, :]
         self._check_dim(q.shape[1])
         rerank = rerank or max(4 * k, 32)
-        rerank = min(rerank, self.num_nodes)
+        # At least k candidates must be reranked, and no more exist than
+        # num_nodes; with a tiny corpus the result is padded below.
+        rerank = min(max(rerank, k), self.num_nodes)
+        k_eff = min(k, rerank)
 
         d_approx = pq_scan(self.pq, q, self.pq_codes, metric=self.config.metric)
         _, cand = jax.lax.top_k(-d_approx, rerank)  # [B, rerank]
@@ -370,10 +375,14 @@ class LeannIndex:
                 provider.embed_ctx, q1, ids1, jnp.ones_like(ids1, dtype=bool)
             )
         )(qp, cand)
-        neg, pos = jax.lax.top_k(-d_exact, k)
+        neg, pos = jax.lax.top_k(-d_exact, k_eff)
         ids = jnp.take_along_axis(cand, pos, axis=1)
         self.last_recompute_fraction = rerank / max(self.num_nodes, 1)
         dists, ids = np.asarray(-neg), np.asarray(ids)
+        if k_eff < k:  # corpus smaller than k: pad (inf, -1) like the pools
+            pad = ((0, 0), (0, k - k_eff))
+            dists = np.pad(dists, pad, constant_values=np.inf)
+            ids = np.pad(ids, pad, constant_values=-1)
         return (dists[0], ids[0]) if single else (dists, ids)
 
     # -- helpers -----------------------------------------------------------

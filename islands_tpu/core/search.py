@@ -455,6 +455,9 @@ def _search_one_sketch_gated(
 
     n, m = neighbors.shape
     em = expand_width * m
+    # A hop discovers at most em candidates; a wider promote window would
+    # shrink the AQ slice below aq_width and break the while_loop carry.
+    promote_width = min(promote_width, em)
 
     entry = jnp.maximum(entry_point, 0)
     d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
@@ -661,6 +664,9 @@ def _search_one_two_level(
     """
     n, m = neighbors.shape
     em = expand_width * m
+    # A hop discovers at most em candidates; a wider promote window would
+    # shrink the AQ slice below aq_width and break the while_loop carry.
+    promote_width = min(promote_width, em)
 
     entry = jnp.maximum(entry_point, 0)
     d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
@@ -890,8 +896,6 @@ class StoredSearcher:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
         ef = max(ef, k)
-        if max_iters is None:
-            max_iters = default_max_iters(ef, expand_width)
         qp = dist_ops.prep_query(queries, self.metric)
         if gate == "auto":
             gate = "sketch" if self.sketch is not None else "exact"
@@ -902,6 +906,8 @@ class StoredSearcher:
 
             qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
             promote = max(8, min(2 * expand_width * 4, ef))
+            if max_iters is None:  # gate-appropriate default, caller wins
+                max_iters = 8 * max(ef // promote, 1) + 32
             d, ids, _ = batched_sketch_gated_query(
                 qp, qs, self.x_prepped, self.sketch.scale,
                 self.graph.neighbors, self.sketch.nbr_sketch,
@@ -909,9 +915,11 @@ class StoredSearcher:
                 exact_scorer=self._scorer, metric=self.metric,
                 dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
-                max_iters=8 * max(ef // promote, 1) + 32,
+                max_iters=max_iters,
             )
             return d, ids
+        if max_iters is None:
+            max_iters = default_max_iters(ef, expand_width)
         entry = self.graph.entry_point
         if self.sketch is not None:
             # Routing entries help the exact gate too: start each query at

@@ -131,8 +131,12 @@ def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
     w = proj_ops.make_projection(d, proj_dims, seed)
     mesh = index.mesh
 
-    # Global scale from shard 0's slice (representative sample).
-    proj0 = jnp.dot(index.x_prepped[0], w, preferred_element_type=jnp.float32)
+    # Global scale from shard 0's REAL rows (the padded tail is zeros; fitting
+    # over it dilutes the rms and inflates the scale so real projections clip).
+    count0 = max(int(np.asarray(index.counts)[0]), 1)
+    proj0 = jnp.dot(
+        index.x_prepped[0, :count0], w, preferred_element_type=jnp.float32
+    )
     scale = proj_ops.fit_scale(proj0)
 
     @functools.partial(
@@ -268,7 +272,7 @@ def build_sharded(
     if w0 < n_local:
         neighbors, degrees = _run_waves(
             mesh, config, neighbors, degrees, x_dev, counts_dev,
-            entries_all, w0, n_local, bw, max_wave,
+            entries_all, w0, n_local, n_local, bw, max_wave,
         )
 
     # --- final sweep + crop per shard ---
@@ -317,18 +321,26 @@ def build_sharded(
 
 def _run_waves(
     mesh, config, neighbors, degrees, x_dev, counts_dev, entries_all,
-    s_start, n_struct, bw, max_wave, start_per_shard=None,
+    s_start, s_end, n_struct, bw, max_wave, start_per_shard=None,
 ):
-    """Run lockstep construction waves on all shards from s_start to
-    n_struct. `start_per_shard` (optional [S] int32) offsets each shard's
-    insertion cursor (extend path); entries_all [S, n_struct+1] provides
-    per-shard entry points."""
+    """Run lockstep construction waves on all shards, inserting cursor range
+    [s_start, s_end) against structural size `n_struct`.
+
+    Build path: `start_per_shard` is None — every shard's cursor equals the
+    loop cursor and wave widths follow the doubling schedule, with per-wave
+    entry points from `entries_all [S, >=s_end+1]`.
+    Extend path: `start_per_shard [S]` offsets each shard's cursor (shards
+    append at their own tails) and waves run at the constant bucketed
+    `max_wave` so repeated extends reuse executables."""
     max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
     step_cache: dict[int, object] = {}
     shard1 = _shard_spec(mesh)
     s = s_start
-    while s < n_struct:
-        wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
+    while s < s_end:
+        if start_per_shard is None:
+            wave = min(max_wave, 1 << max(8, s.bit_length() - 1))
+        else:
+            wave = max_wave
         if wave not in step_cache:
             body = functools.partial(
                 wave_body,
@@ -383,6 +395,12 @@ def extend_sharded(
     current maximum. Structural sizes are power-of-two-bucketed so repeated
     extends reuse cached executables (the per-repo re-index hot path)."""
     config = index.config or LeannConfig(metric=index.metric)
+    if config.m0 != int(index.neighbors.shape[2]):
+        raise ValueError(
+            f"config.m0={config.m0} does not match the index's max degree "
+            f"{int(index.neighbors.shape[2])} (index loaded without its "
+            "construction config?)"
+        )
     s_count = index.num_shards
     n_new = int(new_x.shape[0])
     if n_new == 0:
@@ -442,55 +460,16 @@ def extend_sharded(
     neighbors = jax.device_put(nbrs_np, shard3)
     degrees = jax.device_put(degs_np, shard2)
 
-    # Waves insert [start, start + new_max) per shard, masked by counts.
+    # Lockstep waves: shard si inserts its own range starting at counts[si];
+    # entry points are each shard's existing entry for every wave.
     new_max = int(per_shard_new.max())
     entries_host = np.asarray(index.entries)
-    entries_all = np.tile(entries_host[:, None], (1, n_struct + 1))
-    start_per_shard = counts.astype(np.int32)
-    # Lockstep waves: shard si inserts its own range starting at counts[si].
-    max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
-    step_cache: dict[int, object] = {}
-    s = 0
-    while s < new_max:
-        wave = max_wave
-        if wave not in step_cache:
-            body = functools.partial(
-                wave_body,
-                config=config,
-                n=n_struct,
-                wave=wave,
-                buffer_width=bw,
-                max_iters=max_iters,
-            )
-
-            def local_wave(nbrs, degs, entry, xl, count, start, _body=body):
-                nb, dg, _ = _body(
-                    nbrs[0], degs[0], None, start[0], entry[0], xl[0], count[0]
-                )
-                return nb[None], dg[None]
-
-            step_cache[wave] = jax.jit(
-                shard_map(
-                    local_wave,
-                    mesh=mesh,
-                    in_specs=(
-                        P(_shard_axes(mesh), None, None),
-                        P(_shard_axes(mesh), None),
-                        P(_shard_axes(mesh)),
-                        P(_shard_axes(mesh), None, None),
-                        P(_shard_axes(mesh)),
-                        P(_shard_axes(mesh)),
-                    ),
-                    out_specs=(P(_shard_axes(mesh), None, None), P(_shard_axes(mesh), None)),
-                    check_vma=False,
-                )
-            )
-        starts = (start_per_shard + s).astype(np.int32)
-        neighbors, degrees = step_cache[wave](
-            neighbors, degrees, jax.device_put(entries_host, shard1), x_dev,
-            counts_dev, jax.device_put(starts, shard1),
-        )
-        s += wave
+    entries_all = np.tile(entries_host[:, None], (1, new_max + 1))
+    neighbors, degrees = _run_waves(
+        mesh, config, neighbors, degrees, x_dev, counts_dev, entries_all,
+        0, new_max, n_struct, bw, max_wave,
+        start_per_shard=counts.astype(np.int32),
+    )
 
     @functools.partial(
         shard_map,
@@ -686,8 +665,12 @@ class ArchipelagoSearcher:
                 max_iters = 8 * max(ef // promote, 1) + 32
             else:
                 max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
+        # dim is baked into the sketch gate as a static calibration constant
+        # (_make closes over it) — it must be part of the cache key or a
+        # second index with a different dim would silently reuse the wrong
+        # calibration.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
-               max_iters, gate)
+               max_iters, gate, int(idx.x_prepped.shape[-1]))
         if key not in self._cache:
             self._cache[key] = self._make(k, ef, expand_width, max_iters, gate)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
@@ -751,6 +734,16 @@ def save_sharded(index: ShardedIndex, path) -> int:
         "metric": getattr(index.metric, "value", str(index.metric)),
         "has_sketch": bool(index.has_sketch),
     }
+    if index.config is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.asdict(index.config)
+        cfg["metric"] = getattr(index.config.metric, "value", str(index.config.metric))
+        cfg["pruning_strategy"] = getattr(
+            index.config.pruning_strategy, "value",
+            str(index.config.pruning_strategy),
+        )
+        header["config"] = cfg
     w.write_chunk(b"SHRD", json.dumps(header).encode())
 
     def arr_chunk(tag, a, dt):
@@ -802,6 +795,21 @@ def load_sharded(path, mesh: Mesh | None = None) -> ShardedIndex:
     shard3 = _shard_spec(mesh, None, None)
     shard2 = _shard_spec(mesh, None)
     shard1 = _shard_spec(mesh)
+    config = None
+    if h.get("config"):
+        import dataclasses as _dc
+
+        from islands_tpu.core.config import PruningStrategy
+
+        cfg_dict = dict(h["config"])
+        cfg_dict["metric"] = DistanceMetric(cfg_dict.get("metric", "cosine"))
+        cfg_dict["pruning_strategy"] = PruningStrategy(
+            cfg_dict.get("pruning_strategy", "global")
+        )
+        known = {f.name for f in _dc.fields(LeannConfig)}
+        config = LeannConfig(
+            **{k: v for k, v in cfg_dict.items() if k in known}
+        )
     index = ShardedIndex(
         neighbors=jax.device_put(arr(b"NBRS", "<i4", (s, n_l, m0)), shard3),
         degrees=jax.device_put(arr(b"DEGS", "<i4", (s, n_l)), shard2),
@@ -811,6 +819,7 @@ def load_sharded(path, mesh: Mesh | None = None) -> ShardedIndex:
         gids=jax.device_put(arr(b"GIDS", "<i4", (s, n_l)), shard2),
         mesh=mesh,
         metric=DistanceMetric(h["metric"]),
+        config=config,
     )
     if h.get("has_sketch"):
         wmat = arr(b"SKW_", "<f4", (d, -1))

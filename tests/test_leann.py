@@ -226,3 +226,42 @@ class TestTwoLevelSearch:
         _, ids = idx.search_two_level(q, k=10, provider=prov, ef=96, rerank_ratio=0.15)
         r = mean_recall(ids, true_ids)
         assert r >= 0.7, (metric, r)
+
+
+class TestSmallCorpusEdges:
+    def test_pq_scan_k_larger_than_corpus(self):
+        """k > num_nodes: results pad with (inf, -1) instead of crashing."""
+        from islands_tpu.core.config import PQConfig
+
+        corpus = make_vectors(6, 16, seed=60)
+        prov = InMemoryEmbeddingProvider(corpus)
+        idx = LeannIndex(LeannConfig(
+            m=2, m0=4, ef_construction=8, wave_size=8, intra_wave_k=2,
+            reverse_slack=4,
+        ))
+        idx.build(prov, with_pq=PQConfig(
+            num_subquantizers=4, num_centroids=4, training_iterations=4, seed=0
+        ))
+        d, ids = idx.search_pq_scan(
+            np.asarray(corpus[:2]), k=10, provider=prov
+        )
+        assert d.shape == (2, 10) and ids.shape == (2, 10)
+        assert np.all(ids[:, 6:] == -1)
+        assert np.all(np.isinf(d[:, 6:]))
+
+    def test_sketch_gate_tiny_degree(self):
+        """promote_width wider than a hop's discoveries must not break the
+        gated loop (it is clamped to expand_width * max_degree)."""
+        from islands_tpu.core.search import StoredSearcher
+        from islands_tpu.ops.proj import build_sketch_index
+
+        corpus = jnp.asarray(make_vectors(300, 16, seed=61))
+        idx = LeannIndex(LeannConfig(
+            m=1, m0=2, ef_construction=8, wave_size=64, intra_wave_k=1,
+            reverse_slack=2, sketch_build=False,
+        ))
+        idx.build_from_embeddings(corpus)
+        sk = build_sketch_index(corpus, idx.graph.neighbors, proj_dims=8)
+        s = StoredSearcher(idx.graph, corpus, idx.config.metric, sketch=sk)
+        d, ids = s.search(corpus[:4], k=3, ef=16, expand_width=1, gate="sketch")
+        assert ids.shape == (4, 3)

@@ -242,3 +242,23 @@ def test_multislice_mesh_hierarchical_merge():
     assert idx2.num_vectors == n + 64
     _, ids = ArchipelagoSearcher(idx2).search(q, k=k, ef=64, gate="exact")
     assert np.all(np.asarray(ids) >= 0)
+
+
+def test_sharded_extend_after_load(tmp_path):
+    """save/load must round-trip the construction config so extend keeps
+    the graph's m0/slack instead of falling back to defaults."""
+    from islands_tpu.parallel.sharded import (
+        extend_sharded, load_sharded, save_sharded,
+    )
+
+    x = clustered(512 + 64, 16, seed=53)
+    mesh = make_mesh(n_shards=8, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x[:512], cfg, mesh)
+    p = tmp_path / "a.shrd"
+    save_sharded(idx, p)
+    idx2 = load_sharded(p, mesh)
+    assert idx2.config is not None
+    assert idx2.config.m0 == cfg.m0
+    idx3 = extend_sharded(idx2, x[512:])
+    assert idx3.num_vectors == 512 + 64
