@@ -112,10 +112,6 @@ def _shard_spec(mesh: Mesh, *rest: None) -> NamedSharding:
     return NamedSharding(mesh, P(_shard_axes(mesh), *rest))
 
 
-def _shard_p(mesh: Mesh, *rest) -> P:
-    return P(_shard_axes(mesh), *rest)
-
-
 def _spec_like_for(mesh: Mesh):
     axes = _shard_axes(mesh)
 
