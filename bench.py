@@ -5,14 +5,27 @@ embeddings), run on the real TPU chip.
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": ratio, ...}
 
-The reference publishes no measured numbers (BASELINE.md); `REF_QPS` below is
-a single-thread CPU estimate for the reference's sequential heap search
-(ef=64, M~30 neighbor expansions x 128-d scalar distance loops ~ O(1e6) flops
-+ heap/hash overhead per query ~= 1 ms) pending a measured native baseline.
+Baselines are MEASURED (BASELINE_MEASURED.json: single-thread C++ -O3
+reimplementation of the reference's sequential algorithm on the identical
+workload); the module-level REF_* constants are only the fallback if that
+file is missing.
+
+Robustness contract (round 3; round 2's driver run timed out with rc=124 and
+recorded nothing): the benchmark ALWAYS emits its JSON line within
+BENCH_BUDGET_S seconds (default 1050). A watchdog thread emits the
+best-so-far result and exits 0 when the budget is nearly exhausted — JAX
+device calls don't yield to Python signal handlers, so a thread + os._exit
+is the only preemption that works mid-dispatch. Stage progress streams to
+stderr so a hard kill still leaves forensics. The expensive half-corpus
+warmup build is replaced by build.warm_build_executables (one wave at the
+bucket shapes), and the recall sweep starts at the known-good operating
+point instead of walking a ladder.
 """
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -21,9 +34,53 @@ N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 2048))
 QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 1024))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
 TARGET_RECALL = 0.9
-REF_QPS = 1000.0  # estimated reference single-thread QPS (see module docstring)
-REF_BUILD_VPS = 3000.0  # estimated reference build throughput, vectors/s
+REF_QPS = 1000.0  # fallback only; see module docstring
+REF_BUILD_VPS = 3000.0
+
+_T0 = time.monotonic()
+_EMITTED = threading.Event()
+# Best-so-far result; the watchdog emits this verbatim. Populated stage by
+# stage so a timeout at any point still records every number measured so far.
+_RESULT = {
+    "metric": f"qps_at_recall10>={TARGET_RECALL}_{N}x{DIM}",
+    "value": 0.0,
+    "unit": "queries/s",
+    "vs_baseline": 0.0,
+    "n": N,
+    "dim": DIM,
+    "stage": "init",
+}
+
+
+def elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def budget_left() -> float:
+    return BUDGET_S - 30.0 - elapsed()
+
+
+def log(msg: str) -> None:
+    print(f"[bench {elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def emit_and_exit(code: int = 0) -> None:
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        print(json.dumps(_RESULT), flush=True)
+    os._exit(code)
+
+
+def _watchdog() -> None:
+    while True:
+        left = budget_left()
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    log(f"budget {BUDGET_S}s nearly exhausted -> emitting best-so-far")
+    emit_and_exit(0)
 
 
 def make_bench_corpus(n, dim, n_queries):
@@ -55,13 +112,6 @@ def make_bench_corpus(n, dim, n_queries):
     return x, queries
 
 
-def _bucket(n):
-    b = 512
-    while b < n:
-        b *= 2
-    return b
-
-
 def load_measured_baseline():
     """Measured native-baseline numbers (bench_baseline.py), if present."""
     import pathlib
@@ -73,18 +123,23 @@ def load_measured_baseline():
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     from islands_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
-    from islands_tpu.core.build import build_index
+    from islands_tpu.core.build import build_index_with_sketch, warm_build_executables
     from islands_tpu.core.config import DistanceMetric, LeannConfig
     from islands_tpu.core.search import StoredSearcher
     from islands_tpu.ops import distance as dist_ops
 
-    from islands_tpu.core.build import build_index_with_sketch
+    measured = load_measured_baseline()
+    ref_qps = measured["ref_qps"] if measured else REF_QPS
+    ref_build_vps = measured["ref_build_vps"] if measured else REF_BUILD_VPS
+    _RESULT["baseline_source"] = "measured" if measured else "estimated"
 
     metric = DistanceMetric.EUCLIDEAN
     # Paper graph degree (m0=60); 32-d sketches (halved JL noise vs the
@@ -97,19 +152,20 @@ def main():
         metric=metric, wave_size=4096, sketch_dims=32, ef_construction=64
     )
 
+    log(f"corpus gen: {N}x{DIM}, {N_QUERIES} queries")
     x, queries = make_bench_corpus(N, DIM, N_QUERIES)
+    _RESULT["stage"] = "corpus"
 
-    # --- warmup: load/compile the wave executables on a half-size corpus in
-    # the SAME power-of-two structural bucket (identical shapes). Through the
-    # axon tunnel, first dispatch of each cached executable costs minutes of
-    # load time that has nothing to do with build throughput; the reported
-    # build time measures the algorithm, warmup_seconds reports the rest. ---
-    n_warm = (_bucket(N) // 2) + 1  # smallest n mapping to N's bucket
+    # --- warmup: dispatch (load) the build executables at the bucket shapes.
+    # Executable LOAD through the axon tunnel costs minutes per process and
+    # has nothing to do with build throughput; warmup_seconds reports it. ---
+    log("warming build executables (one wave at bucket shapes)")
     t0 = time.perf_counter()
-    gw, _ = build_index_with_sketch(x[:n_warm], cfg)
-    jax.block_until_ready(gw.neighbors)
+    warm_build_executables(N, DIM, cfg)
     warm_s = time.perf_counter() - t0
-    del gw
+    _RESULT["warmup_seconds"] = round(warm_s, 2)
+    _RESULT["stage"] = "warmed"
+    log(f"warmup done in {warm_s:.1f}s; starting timed build")
 
     # --- build (sketch-gated wave pipeline; the sketch is reused at query
     # time for the gated search, so its cost is charged to the build) ---
@@ -118,10 +174,26 @@ def main():
     jax.block_until_ready(graph.neighbors)
     build_s = time.perf_counter() - t0
     build_vps = N / build_s
+    bytes_per_vec = graph.storage_bytes() / N
+    if sketch is not None:
+        # On-disk sketch cost: per-node packed sketch + projection + scale
+        # (inline neighbor blocks are derived at load time).
+        bytes_per_vec += (4 * sketch.node_sketch.size + 4 * sketch.w.size + 4) / N
+    _RESULT.update(
+        build_seconds=round(build_s, 2),
+        build_vectors_per_s=round(build_vps, 1),
+        build_vs_baseline=round(build_vps / ref_build_vps, 2),
+        index_bytes_per_vector=round(bytes_per_vec, 2),
+        stage="built",
+    )
+    log(f"build {build_s:.1f}s = {build_vps:.0f} vec/s "
+        f"({build_vps / ref_build_vps:.1f}x baseline)")
 
     # --- ground truth ---
+    log("ground truth (brute force)")
     _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=262144)
     true_ids = np.asarray(true_ids)
+    _RESULT["stage"] = "ground_truth"
 
     searcher = StoredSearcher(graph, x, metric, sketch=sketch)
 
@@ -154,58 +226,61 @@ def main():
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    # Per gate: smallest ef reaching target recall; report the faster gate.
-    best = None
-    for gate in ("sketch", "exact"):
-        chosen = None
-        for ef in (24, 32, 48, 64, 96, 128, 192, 256):
-            r = recall_of(run(ef, gate))
-            if r >= TARGET_RECALL:
-                chosen = (ef, r)
-                break
-        if chosen is None:
-            continue
-        ef, rec = chosen
-        qps = timed(ef, gate)
-        if best is None or qps > best[0]:
-            best = (qps, gate, ef, rec)
-    if best is None:  # neither gate reached target recall: report exact@256
+    def record(qps, ef, gate, rec):
+        if qps > _RESULT["value"]:
+            _RESULT.update(
+                value=round(qps, 1),
+                vs_baseline=round(qps / ref_qps, 2),
+                recall_at_10=round(rec, 4),
+                ef=ef,
+                gate=gate,
+                stage="query",
+            )
+            log(f"recorded {gate}@ef={ef}: {qps:.0f} QPS @ recall {rec:.4f} "
+                f"({qps / ref_qps:.2f}x baseline)")
+
+    # Ladder: known-good operating point first so a budget timeout still
+    # records a full result; wider rungs only if recall misses; a faster
+    # upside rung only with budget to spare. Each new (ef, gate) pays one
+    # executable load, so the ladder is deliberately short.
+    ladder = [
+        ("sketch", 32), ("sketch", 48), ("exact", 48), ("exact", 64),
+        ("exact", 96), ("exact", 128),
+    ]
+    for gate, ef in ladder:
+        if _RESULT["value"] > 0:
+            break
+        if budget_left() < 60:
+            log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
+            break
+        log(f"recall check: {gate}@ef={ef}")
+        rec = recall_of(run(ef, gate))
+        log(f"  recall {rec:.4f}")
+        if rec >= TARGET_RECALL:
+            record(timed(ef, gate), ef, gate, rec)
+
+    # Upside rung: ef=24 sketch gate (~16k+ QPS if over the recall line).
+    if _RESULT["value"] > 0 and _RESULT.get("gate") == "sketch" and budget_left() > 150:
+        log("upside rung: sketch@ef=24")
+        rec = recall_of(run(24, "sketch"))
+        log(f"  recall {rec:.4f}")
+        if rec >= TARGET_RECALL:
+            record(timed(24, "sketch"), 24, "sketch", rec)
+
+    if _RESULT["value"] == 0 and budget_left() > 90:
+        # No rung reached target recall: report exact@256 honestly.
         rec = recall_of(run(256, "exact"))
-        best = (timed(256, "exact"), "exact", 256, rec)
-    qps, gate, ef, rec = best
+        record(timed(256, "exact"), 256, "exact", rec)
 
-    measured = load_measured_baseline()
-    ref_qps = measured["ref_qps"] if measured else REF_QPS
-    ref_build_vps = measured["ref_build_vps"] if measured else REF_BUILD_VPS
-
-    bytes_per_vec = graph.storage_bytes() / N
-    if sketch is not None:
-        # On-disk sketch cost: per-node packed sketch + projection + scale
-        # (inline neighbor blocks are derived at load time).
-        bytes_per_vec += (4 * sketch.node_sketch.size + 4 * sketch.w.size + 4) / N
-
-    print(
-        json.dumps(
-            {
-                "metric": f"qps_at_recall10>={TARGET_RECALL}_{N}x{DIM}",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / ref_qps, 2),
-                "recall_at_10": round(rec, 4),
-                "ef": ef,
-                "gate": gate,
-                "build_seconds": round(build_s, 2),
-                "build_vectors_per_s": round(build_vps, 1),
-                "build_vs_baseline": round(build_vps / ref_build_vps, 2),
-                "warmup_seconds": round(warm_s, 2),
-                "index_bytes_per_vector": round(bytes_per_vec, 2),
-                "baseline_source": "measured" if measured else "estimated",
-                "n": N,
-                "dim": DIM,
-            }
-        )
-    )
+    _RESULT.pop("stage", None)
+    log(f"done in {elapsed():.1f}s")
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always emit the JSON line
+        _RESULT["error"] = f"{type(exc).__name__}: {exc}"
+        log(f"FATAL: {_RESULT['error']}")
+        emit_and_exit(1)

@@ -214,10 +214,12 @@ class LeannIndex:
         reduces how many neighbor embeddings are recomputed per hop).
 
         `gate`: "auto" uses the construction SketchIndex when present —
-        hops rank candidates by inline sketches and exactly `ef` embeddings
-        are recomputed per query (vs every unpruned neighbor per hop in the
-        reference loop, leann.rs:946-948). "none" forces the reference-style
-        per-hop recompute loop; "sketch" requires the sketch.
+        hops rank candidates by inline sketches and only the promoted
+        candidates (`promote_width` per hop, tracked in
+        `last_recompute_fraction`) are recomputed, vs every unpruned
+        neighbor per hop in the reference loop (leann.rs:946-948). "none"
+        forces the reference-style per-hop recompute loop; "sketch" requires
+        the sketch.
         """
         graph = self._require_graph()
         q = jnp.asarray(queries, dtype=jnp.float32)

@@ -293,6 +293,8 @@ def decode_sketch(data: bytes, neighbors):
     magic, ver, n, dim, p = _SKCH_HEADER.unpack_from(data)
     if magic != b"SKCH":
         raise StorageError(f"bad sketch magic {magic!r}")
+    if ver != FORMAT_VERSION:
+        raise StorageError(f"unsupported sketch format version {ver}")
     off = _SKCH_HEADER.size
     (scale,) = struct.unpack_from("<f", data, off)
     off += 4

@@ -278,11 +278,17 @@ class IndexerService:
             # [n, d] float matrix anywhere (the ~95% storage reduction the
             # reference advertises, README.md:14, but never ships because its
             # service stores full HnswGraph embeddings, service.rs:614-623).
-            np.savez(
-                d / "tokens.npz",
+            save_kw = dict(
                 token_ids=np.asarray(stored.provider.token_ids),
                 token_mask=np.asarray(stored.provider.token_mask),
             )
+            # Centered providers (with_center(), anisotropy fix) must reload
+            # with the SAME center or post-restart query embeddings disagree
+            # with the graph built from centered ones.
+            center = getattr(stored.provider, "center", None)
+            if center is not None and np.any(np.asarray(center)):
+                save_kw["center"] = np.asarray(center)
+            np.savez(d / "tokens.npz", **save_kw)
             (d / "embeddings.npy").unlink(missing_ok=True)
         else:
             # Embedding cache: not part of the index (size_bytes charges only
@@ -311,7 +317,8 @@ class IndexerService:
 
             toks = np.load(tok_file)
             stored.provider = EncoderEmbeddingProvider(
-                self.embedder, toks["token_ids"], toks["token_mask"]
+                self.embedder, toks["token_ids"], toks["token_mask"],
+                center=toks["center"] if "center" in toks.files else None,
             )
         elif emb_file.exists():
             stored.provider = InMemoryEmbeddingProvider(np.load(emb_file))

@@ -127,11 +127,17 @@ def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
     w = proj_ops.make_projection(d, proj_dims, seed)
     mesh = index.mesh
 
-    # Global scale from shard 0's REAL rows (the padded tail is zeros; fitting
-    # over it dilutes the rms and inflates the scale so real projections clip).
-    count0 = max(int(np.asarray(index.counts)[0]), 1)
+    # Global scale fitted over REAL rows only (the padded tail is zeros;
+    # fitting over it dilutes the rms and inflates the scale so real
+    # projections clip). Use the first NON-EMPTY shard — shard 0 can be empty
+    # after uneven extends, and fitting on its padding would yield the
+    # rms-guard fallback scale of 1.0.
+    counts_h = np.asarray(index.counts)
+    nonempty = np.flatnonzero(counts_h > 0)
+    si = int(nonempty[0]) if nonempty.size else 0
+    c = max(int(counts_h[si]), 1)
     proj0 = jnp.dot(
-        index.x_prepped[0, :count0], w, preferred_element_type=jnp.float32
+        index.x_prepped[si, :c], w, preferred_element_type=jnp.float32
     )
     scale = proj_ops.fit_scale(proj0)
 
@@ -156,8 +162,11 @@ def _sharded_sketch(index: ShardedIndex, proj_dims: int, seed: int):
     )
     rng = np.random.default_rng(seed ^ 0xA5)
     counts = np.asarray(index.counts)
+    r_size = (
+        index.config.routing_size if index.config is not None else 256
+    )
     routing = np.stack([
-        rng.integers(0, max(int(c), 1), size=256).astype(np.int32)
+        rng.integers(0, max(int(c), 1), size=r_size).astype(np.int32)
         for c in counts
     ])
     index.sketch_w = w
@@ -782,7 +791,7 @@ def load_sharded(path, mesh: Mesh | None = None) -> ShardedIndex:
     s, n_l, m0, d = h["num_shards"], h["n_local"], h["m0"], h["dim"]
     if _shard_count(mesh) != s:
         raise StorageError(
-            f"index has {s} shards, mesh has {mesh.shape['shards']}"
+            f"index has {s} shards, mesh has {_shard_count(mesh)}"
         )
 
     def arr(tag, dt, shape):

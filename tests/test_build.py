@@ -147,3 +147,43 @@ def test_small_candidate_width_config_builds():
     g = build_index(jnp.asarray(x), cfg)
     assert g.num_nodes == 300
     g.validate()
+
+
+def test_scatter_reverse_edges_row_branch_matches_element_branch(monkeypatch):
+    """The overflow-safe row-scatter branch (buckets where n*bw*p4 exceeds
+    int32) must produce identical graph + sketch state to the fast
+    element-scatter branch (ADVICE r2: flattened word index overflowed at
+    >= ~4M-row buckets and silently dropped sketch updates)."""
+    import jax.numpy as jnp
+
+    from islands_tpu.core import build as build_mod
+    from islands_tpu.core.csr import SENTINEL
+
+    rng = np.random.default_rng(7)
+    n, bw, p4, m0, wavew = 64, 12, 4, 8, 16
+    neighbors = jnp.full((n, bw), SENTINEL, dtype=jnp.int32)
+    degrees = jnp.zeros((n,), dtype=jnp.int32)
+    nbr_sketch = jnp.zeros((n, bw * p4), dtype=jnp.int32)
+    node_sketch = jnp.asarray(
+        rng.integers(-(2**30), 2**30, size=(n, p4)), dtype=jnp.int32
+    )
+    sel_ids = jnp.asarray(
+        rng.integers(0, n, size=(wavew, m0)), dtype=jnp.int32
+    )
+    sel_dists = jnp.asarray(rng.random((wavew, m0)), dtype=jnp.float32)
+    src = jnp.broadcast_to(
+        jnp.arange(wavew, dtype=jnp.int32)[:, None], (wavew, m0)
+    )
+    edge_valid = jnp.asarray(rng.random((wavew, m0)) < 0.9)
+
+    out_elt = build_mod._scatter_reverse_edges(
+        neighbors, degrees, sel_ids, sel_dists, src, edge_valid,
+        nbr_sketch, node_sketch,
+    )
+    monkeypatch.setattr(build_mod, "_FLAT_SCATTER_LIMIT", 1)
+    out_row = build_mod._scatter_reverse_edges(
+        neighbors, degrees, sel_ids, sel_dists, src, edge_valid,
+        nbr_sketch, node_sketch,
+    )
+    for a, b in zip(out_elt, out_row):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
