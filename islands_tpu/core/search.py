@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from islands_tpu.core.config import DistanceMetric, PruningStrategy
 from islands_tpu.core.csr import SENTINEL, CsrGraph
 from islands_tpu.ops import distance as dist_ops
+from islands_tpu.ops.merge import merge_sorted_with_new, pack_id_expanded
 
 Array = jax.Array
 # scorer(ctx, q, ids [E] int32, valid [E] bool) -> dists [E] f32
@@ -243,27 +244,32 @@ def _search_one(
     # queries must draw independent accept masks).
     salt = jax.lax.bitcast_convert_type(q[0], jnp.int32)
 
-    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    # Pool entries carry (id, expanded) packed into one int32 code so the
+    # hop merge moves 2 sort operands, not 3 (ops/merge.pack_id_expanded);
+    # empty slots pack to -1 (SENTINEL id + expanded).
+    pool_code = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+        pack_id_expanded(entry.astype(jnp.int32), jnp.zeros((), bool))
+    )
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
-    # Empty slots count as already expanded.
-    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
 
     def cond(state):
-        pool_dists, pool_expanded, *_ , it = state
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        pool_dists, pool_code, it = state
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         best_unexp = jnp.min(unexp)
         worst = pool_dists[-1]
         return (best_unexp < _INF) & (best_unexp <= worst) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, it = state
+        pool_dists, pool_code, it = state
 
         # --- pop: best `expand_width` unexpanded pool entries ---
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
-        sel_ids = pool_ids[sel_pos]
+        pool_code = pool_code.at[sel_pos].set(
+            pool_code[sel_pos] | 1, unique_indices=True
+        )
+        sel_ids = pool_code[sel_pos] >> 1
 
         # --- gather neighbor ids [E, M] -> [E*M] ---
         rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
@@ -274,7 +280,7 @@ def _search_one(
         # see _not_in_set) ---
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
         sorted_ids, keep = _dedup_sorted(nbr_ids, n)
-        keep = keep & _not_in_set(sorted_ids, pool_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
         if prune_fn is not None:
             pool_count = jnp.sum((pool_dists < _INF).astype(jnp.int32))
@@ -282,18 +288,22 @@ def _search_one(
 
         # --- score ---
         new_dists = scorer(ctx, q, sorted_ids, keep)
-        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+        new_code = pack_id_expanded(
+            jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32), ~keep
+        )
 
-        # --- merge into pool: sort (pool ++ new) by distance, keep best ef ---
-        all_d = jnp.concatenate([pool_dists, new_dists])
-        all_i = jnp.concatenate([pool_ids, new_ids])
-        all_e = jnp.concatenate([pool_expanded, ~keep])  # new invalid => expanded
-        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return (all_d[:ef], all_e[:ef], all_i[:ef], it + 1)
+        # --- merge into pool: bitonic merge of the sorted pool with the
+        # hop's discoveries (ops/merge.merge_sorted_with_new — replaces the
+        # full lax.sort network over ef+em, round-2 profiling's largest
+        # per-hop cost), keep best ef ---
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, new_dists, new_code
+        )
+        return (all_d[:ef], all_code[:ef], it + 1)
 
-    state = (pool_dists, pool_expanded, pool_ids, jnp.int32(0))
-    pool_dists, _, pool_ids, _ = jax.lax.while_loop(cond, body, state)
-    return pool_dists, pool_ids
+    state = (pool_dists, pool_code, jnp.int32(0))
+    pool_dists, pool_code, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_code >> 1
 
 
 def _search_one_sketch(
@@ -326,25 +336,29 @@ def _search_one_sketch(
     entry_raw = proj_ops.unpack_raw(node_sketch[entry])
     d_entry = proj_ops.sketch_distance(qs, entry_raw, metric)
 
-    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    # (id, expanded) packed codes; see _search_one.
+    pool_code = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+        pack_id_expanded(entry.astype(jnp.int32), jnp.zeros((), bool))
+    )
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
-    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
 
     def cond(state):
-        pool_dists, pool_expanded, *_, it = state
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        pool_dists, pool_code, it = state
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         best_unexp = jnp.min(unexp)
         worst = pool_dists[-1]
         return (best_unexp < _INF) & (best_unexp <= worst) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, it = state
+        pool_dists, pool_code, it = state
 
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
-        sel_ids = pool_ids[sel_pos]
+        pool_code = pool_code.at[sel_pos].set(
+            pool_code[sel_pos] | 1, unique_indices=True
+        )
+        sel_ids = pool_code[sel_pos] >> 1
 
         safe = jnp.clip(sel_ids, 0, n - 1)
         rows = neighbors[safe]                       # [E, M] ids
@@ -364,20 +378,22 @@ def _search_one_sketch(
             [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
         )
         keep = (sorted_ids < n) & (sorted_ids != prev)
-        keep = keep & _not_in_set(sorted_ids, pool_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
         new_dists = jnp.where(keep, d, _INF)
-        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+        new_code = pack_id_expanded(
+            jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32), ~keep
+        )
 
-        all_d = jnp.concatenate([pool_dists, new_dists])
-        all_i = jnp.concatenate([pool_ids, new_ids])
-        all_e = jnp.concatenate([pool_expanded, ~keep])
-        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return (all_d[:ef], all_e[:ef], all_i[:ef], it + 1)
+        # Bitonic merge of sorted pool + hop discoveries (ops/merge).
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, new_dists, new_code
+        )
+        return (all_d[:ef], all_code[:ef], it + 1)
 
-    state = (pool_dists, pool_expanded, pool_ids, jnp.int32(0))
-    pool_dists, _, pool_ids, _ = jax.lax.while_loop(cond, body, state)
-    return pool_dists, pool_ids
+    state = (pool_dists, pool_code, jnp.int32(0))
+    pool_dists, pool_code, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_code >> 1
 
 
 @functools.partial(
@@ -462,16 +478,19 @@ def _search_one_sketch_gated(
     entry = jnp.maximum(entry_point, 0)
     d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
 
-    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    # (id, expanded) packed codes; see _search_one. AQ entries have no
+    # expanded flag, so the AQ aux operand is the bare id.
+    pool_code = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+        pack_id_expanded(entry.astype(jnp.int32), jnp.zeros((), bool))
+    )
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
-    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
     aq_ids = jnp.full((aq_width,), SENTINEL, dtype=jnp.int32)
     aq_dists = jnp.full((aq_width,), _INF)
     n_exact = jnp.int32(1)
 
     def cond(state):
-        pool_dists, pool_expanded, _, aq_dists, *_, it = state
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        pool_dists, pool_code, aq_dists, *_, it = state
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         best_unexp = jnp.min(unexp)
         worst = pool_dists[-1]
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
@@ -486,14 +505,16 @@ def _search_one_sketch_gated(
         return (exact_work | aq_work) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact, it = state
+        pool_dists, pool_code, aq_dists, aq_ids, n_exact, it = state
 
         # --- Phase 1: expand, fetch inline sketch blocks, approx-score ---
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
-        sel_ids = pool_ids[sel_pos]
+        pool_code = pool_code.at[sel_pos].set(
+            pool_code[sel_pos] | 1, unique_indices=True
+        )
+        sel_ids = pool_code[sel_pos] >> 1
 
         safe = jnp.clip(sel_ids, 0, n - 1)
         rows = neighbors[safe]
@@ -512,15 +533,13 @@ def _search_one_sketch_gated(
         )
         keep = (sorted_ids < n) & (sorted_ids != prev)
         keep = keep & _not_in_set(sorted_ids, aq_ids)
-        keep = keep & _not_in_set(sorted_ids, pool_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
         new_d = jnp.where(keep, d_approx, _INF)
 
-        # --- merge into the approximate queue ---
-        aq_d = jnp.concatenate([aq_dists, new_d])
-        aq_i = jnp.concatenate([aq_ids, new_ids])
-        aq_d, aq_i = jax.lax.sort((aq_d, aq_i), num_keys=1)
+        # --- bitonic-merge into the approximate queue (ops/merge) ---
+        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, new_d, new_ids)
 
         # --- Phase 2: promote best promote_width AQ entries to exact ---
         prom_ids = aq_i[:promote_width]
@@ -533,21 +552,17 @@ def _search_one_sketch_gated(
         )
         n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
 
-        all_d = jnp.concatenate([pool_dists, d_exact])
-        all_i = jnp.concatenate([pool_ids, jnp.where(prom_valid, prom_ids, SENTINEL)])
-        all_e = jnp.concatenate([pool_expanded, ~prom_valid])
-        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return (
-            all_d[:ef], all_e[:ef], all_i[:ef], aq_dists, aq_ids, n_exact,
-            it + 1,
+        prom_code = pack_id_expanded(
+            jnp.where(prom_valid, prom_ids, SENTINEL), ~prom_valid
         )
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, d_exact, prom_code
+        )
+        return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
-    state = (
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact,
-        jnp.int32(0),
-    )
-    pool_dists, _, pool_ids, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
-    return pool_dists, pool_ids, n_exact
+    state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
+    pool_dists, pool_code, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_code >> 1, n_exact
 
 
 @functools.partial(
@@ -671,16 +686,18 @@ def _search_one_two_level(
     entry = jnp.maximum(entry_point, 0)
     d_entry = exact_scorer(exact_ctx, q, entry[None], jnp.ones((1,), dtype=bool))[0]
 
-    pool_ids = jnp.full((ef,), SENTINEL, dtype=jnp.int32).at[0].set(entry.astype(jnp.int32))
+    # (id, expanded) packed codes; see _search_one. AQ aux is the bare id.
+    pool_code = jnp.full((ef,), -1, dtype=jnp.int32).at[0].set(
+        pack_id_expanded(entry.astype(jnp.int32), jnp.zeros((), bool))
+    )
     pool_dists = jnp.full((ef,), _INF).at[0].set(d_entry)
-    pool_expanded = jnp.ones((ef,), dtype=bool).at[0].set(False)
     aq_ids = jnp.full((aq_width,), SENTINEL, dtype=jnp.int32)
     aq_dists = jnp.full((aq_width,), _INF)
     n_exact = jnp.int32(1)
 
     def cond(state):
-        pool_dists, pool_expanded, _, aq_dists, *_, it = state
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        pool_dists, pool_code, aq_dists, *_, it = state
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         best_unexp = jnp.min(unexp)
         worst = pool_dists[-1]
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
@@ -693,14 +710,16 @@ def _search_one_two_level(
         return (exact_work | aq_work) & (it < max_iters)
 
     def body(state):
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact, it = state
+        pool_dists, pool_code, aq_dists, aq_ids, n_exact, it = state
 
         # --- Phase 1: expand best unexpanded exact entries, approx-score ---
-        unexp = jnp.where(pool_expanded, _INF, pool_dists)
+        unexp = jnp.where((pool_code & 1) == 1, _INF, pool_dists)
         neg_best, sel_pos = jax.lax.top_k(-unexp, expand_width)
         sel_valid = -neg_best < _INF
-        pool_expanded = pool_expanded.at[sel_pos].set(True, unique_indices=True)
-        sel_ids = pool_ids[sel_pos]
+        pool_code = pool_code.at[sel_pos].set(
+            pool_code[sel_pos] | 1, unique_indices=True
+        )
+        sel_ids = pool_code[sel_pos] >> 1
 
         rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
         nbr_ids = rows.reshape(em)
@@ -710,15 +729,13 @@ def _search_one_two_level(
         # Scatter-free visited: not in the approximate queue and not in the
         # exact pool (see _not_in_set for the monotonicity argument).
         keep = keep & _not_in_set(sorted_ids, aq_ids)
-        keep = keep & _not_in_set(sorted_ids, pool_ids)
+        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
         d_approx = approx_scorer(approx_ctx, tables, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
 
-        # --- merge into the approximate queue ---
-        aq_d = jnp.concatenate([aq_dists, d_approx])
-        aq_i = jnp.concatenate([aq_ids, new_ids])
-        aq_d, aq_i = jax.lax.sort((aq_d, aq_i), num_keys=1)
+        # --- bitonic-merge into the approximate queue (ops/merge) ---
+        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, d_approx, new_ids)
 
         # --- Phase 2: promote best promote_width AQ entries to exact ---
         prom_ids = aq_i[:promote_width]
@@ -731,26 +748,17 @@ def _search_one_two_level(
         )
         n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
 
-        all_d = jnp.concatenate([pool_dists, d_exact])
-        all_i = jnp.concatenate([pool_ids, jnp.where(prom_valid, prom_ids, SENTINEL)])
-        all_e = jnp.concatenate([pool_expanded, ~prom_valid])
-        all_d, all_i, all_e = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return (
-            all_d[:ef],
-            all_e[:ef],
-            all_i[:ef],
-            aq_dists,
-            aq_ids,
-            n_exact,
-            it + 1,
+        prom_code = pack_id_expanded(
+            jnp.where(prom_valid, prom_ids, SENTINEL), ~prom_valid
         )
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, d_exact, prom_code
+        )
+        return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
-    state = (
-        pool_dists, pool_expanded, pool_ids, aq_dists, aq_ids, n_exact,
-        jnp.int32(0),
-    )
-    pool_dists, _, pool_ids, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
-    return pool_dists, pool_ids, n_exact
+    state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
+    pool_dists, pool_code, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    return pool_dists, pool_code >> 1, n_exact
 
 
 # ---------------------------------------------------------------------------
