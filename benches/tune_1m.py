@@ -1,0 +1,100 @@
+"""1M operating-point exploration (round 3): query batch size, promote
+width, and recall-margin levers (sketch_dims / sketch_pool_mult) on the
+real chip. One process so executables load once.
+
+    /opt/venv/bin/python benches/tune_1m.py A     # batch/promote sweep
+    /opt/venv/bin/python benches/tune_1m.py B     # sketch_dims=48 build
+    /opt/venv/bin/python benches/tune_1m.py C     # pool_mult=3 build
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run(tag, dims, efc, mult):
+    from islands_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    from bench import make_bench_corpus
+    from islands_tpu.core.build import build_index_with_sketch
+    from islands_tpu.core.config import DistanceMetric, LeannConfig
+    from islands_tpu.core.search import StoredSearcher
+    from islands_tpu.ops import distance as dist_ops
+
+    n, dim, nq = 1_000_000, 128, 4096
+    metric = DistanceMetric.EUCLIDEAN
+    cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=dims,
+                      ef_construction=efc, sketch_pool_mult=mult)
+    x, queries = make_bench_corpus(n, dim, nq)
+
+    t0 = time.perf_counter()
+    graph, sketch = build_index_with_sketch(x, cfg)
+    jax.block_until_ready(graph.neighbors)
+    build_s = time.perf_counter() - t0
+    print(f"[{tag}] build {build_s:.1f}s ({n / build_s:.0f} vec/s)",
+          file=sys.stderr, flush=True)
+
+    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric,
+                                            batch=262144)
+    true_ids = np.asarray(true_ids)
+    searcher = StoredSearcher(graph, x, metric, sketch=sketch)
+
+    def recall_of(ids):
+        return float(np.mean([
+            len(set(ids[i].tolist()) & set(true_ids[i].tolist())) / 10.0
+            for i in range(ids.shape[0])
+        ]))
+
+    out = {"tag": tag, "dims": dims, "efc": efc, "mult": mult,
+           "build_s": round(build_s, 1)}
+
+    def measure(ef, batch, promote=None, label=None):
+        label = label or f"ef{ef}_b{batch}" + (f"_p{promote}" if promote else "")
+        ids_all = []
+        for s in range(0, nq, batch):
+            _, ids = searcher.search(queries[s:s + batch], k=10, ef=ef,
+                                     expand_width=4, gate="sketch",
+                                     promote_width=promote)
+            ids_all.append(np.asarray(ids))
+        rec = recall_of(np.concatenate(ids_all))
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for s in range(0, nq, batch):
+                d, i = searcher.search(queries[s:s + batch], k=10, ef=ef,
+                                       expand_width=4, gate="sketch",
+                                       promote_width=promote)
+            jax.block_until_ready((d, i))
+        qps = nq / ((time.perf_counter() - t0) / reps)
+        out[label] = {"recall": round(rec, 4), "qps": round(qps, 0)}
+        print(f"[{tag}] {label}: recall {rec:.4f}, {qps:.0f} QPS",
+              file=sys.stderr, flush=True)
+
+    if tag == "A":
+        for batch in (1024, 2048, 4096):
+            measure(32, batch)
+        measure(32, 2048, promote=16)
+        measure(32, 2048, promote=48)
+        measure(24, 2048)
+        measure(48, 2048)
+    else:
+        measure(32, 2048)
+        measure(24, 2048)
+        measure(32, 2048, promote=16)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    tag = sys.argv[1] if len(sys.argv) > 1 else "A"
+    cfgs = {"A": (32, 64, 2), "B": (48, 64, 2), "C": (32, 64, 3),
+            "D": (48, 64, 3)}
+    dims, efc, mult = cfgs[tag]
+    run(tag, dims, efc, mult)

@@ -897,9 +897,12 @@ class StoredSearcher:
         expand_width: int = 4,
         max_iters: int | None = None,
         gate: str = "auto",
+        promote_width: int | None = None,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
-        empty results (reference: leann.rs:875-877)."""
+        empty results (reference: leann.rs:875-877). `promote_width` (sketch
+        gate only) caps how many approximate-queue heads get exact scoring
+        per hop — the exact-gather budget knob."""
         if self.graph.num_nodes == 0:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
@@ -913,7 +916,7 @@ class StoredSearcher:
             from islands_tpu.ops import proj as proj_ops
 
             qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
-            promote = max(8, min(2 * expand_width * 4, ef))
+            promote = promote_width or max(8, min(2 * expand_width * 4, ef))
             if max_iters is None:  # gate-appropriate default, caller wins
                 max_iters = 8 * max(ef // promote, 1) + 32
             d, ids, _ = batched_sketch_gated_query(

@@ -41,6 +41,7 @@ def graph_invariants(graph, n, m0):
 
 
 @pytest.mark.parametrize("metric", [DistanceMetric.COSINE, DistanceMetric.EUCLIDEAN])
+@pytest.mark.slow
 def test_build_invariants_and_recall(metric):
     n, dim = 600, 32
     x = make_vectors(n, dim, seed=20)
@@ -60,6 +61,7 @@ def test_build_invariants_and_recall(metric):
     assert recall >= 0.85, recall
 
 
+@pytest.mark.slow
 def test_build_connectivity():
     """Every node reachable from the entry point (spec
     test_pruning_preserves_connectivity, docs/leann-specification.md:852-864)."""
@@ -109,6 +111,7 @@ def test_levels_and_entry():
             max_l, best = levels[i], i
 
 
+@pytest.mark.slow
 def test_high_degree_pruning_creates_hub_skew():
     """Hub preservation should skew in-degree: with it on, top-2% in-degree
     mass should be at least as concentrated as with it off (paper Section 5

@@ -95,6 +95,7 @@ class TestHnswIndex:
         _, b = built.search(q, k=10)
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
     def test_extend_recall(self, corpus):
         idx = HnswIndex(FAST).build(corpus[:400])
         idx.extend(corpus[400:])
@@ -113,6 +114,7 @@ class TestHnswIndex:
         idx = HnswIndex(FAST).extend(corpus[:100])
         assert idx.num_nodes == 100
 
+    @pytest.mark.slow
     def test_extend_same_bucket_no_recompile(self, corpus):
         """Two successive extends inside one structural bucket must reuse the
         cached wave executables (round-1 weakness: every append compiled
@@ -127,6 +129,7 @@ class TestHnswIndex:
         assert build_mod.wave_step._cache_size() == before
         assert idx.num_nodes == 420
 
+    @pytest.mark.slow
     def test_euclidean_metric(self, corpus):
         import dataclasses
 

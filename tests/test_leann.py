@@ -122,6 +122,7 @@ class TestPqScanSearch:
 
 
 class TestExtend:
+    @pytest.mark.slow
     def test_extend_recall_and_reachability(self, corpus, provider):
         idx = LeannIndex(LeannConfig(**SMALL_CFG))
         idx.build(provider, num_vectors=600)
@@ -166,6 +167,7 @@ class TestRecomputeSearch:
     @pytest.mark.parametrize("strategy", [
         PruningStrategy.GLOBAL, PruningStrategy.LOCAL, PruningStrategy.PROPORTIONAL,
     ])
+    @pytest.mark.slow
     def test_pruning_strategies_recall(self, corpus, provider, strategy):
         idx = LeannIndex(LeannConfig(
             **SMALL_CFG, prune_ratio=0.3, pruning_strategy=strategy,
@@ -216,6 +218,7 @@ class TestTwoLevelSearch:
     @pytest.mark.parametrize("metric", [
         DistanceMetric.EUCLIDEAN, DistanceMetric.DOT_PRODUCT,
     ])
+    @pytest.mark.slow
     def test_other_metrics(self, corpus, metric):
         prov = InMemoryEmbeddingProvider(corpus)
         idx = LeannIndex(LeannConfig(**SMALL_CFG, metric=metric))
@@ -229,6 +232,7 @@ class TestTwoLevelSearch:
 
 
 class TestSmallCorpusEdges:
+    @pytest.mark.slow
     def test_pq_scan_k_larger_than_corpus(self):
         """k > num_nodes: results pad with (inf, -1) instead of crashing."""
         from islands_tpu.core.config import PQConfig
@@ -249,6 +253,7 @@ class TestSmallCorpusEdges:
         assert np.all(ids[:, 6:] == -1)
         assert np.all(np.isinf(d[:, 6:]))
 
+    @pytest.mark.slow
     def test_sketch_gate_tiny_degree(self):
         """promote_width wider than a hop's discoveries must not break the
         gated loop (it is clamped to expand_width * max_degree)."""

@@ -240,6 +240,7 @@ class TestHashEmbedder:
 
 
 class TestEncoderProvider:
+    @pytest.mark.slow
     def test_recompute_search_end_to_end(self, enc):
         """The full LEANN loop with a real (random-init) encoder: build from
         provider embeddings, search with recompute fused into the hop."""
@@ -295,6 +296,7 @@ class TestCenteredProvider:
 
         assert sep(cemb) > sep(emb) + 0.05
 
+    @pytest.mark.slow
     def test_centered_recompute_search_consistent(self, enc):
         """LeannIndex built + searched through a centered provider matches
         brute force over the centered embeddings."""

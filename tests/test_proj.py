@@ -109,6 +109,7 @@ class TestCalibratedDistance:
 
 
 class TestSketchBuild:
+    @pytest.mark.slow
     def test_sketch_build_recall_matches_classic(self):
         metric = DistanceMetric.EUCLIDEAN
         x = jnp.asarray(clustered(2048, 48, seed=1))
@@ -184,6 +185,7 @@ class TestSketchGatedQuery:
         _, b = s.search(q, k=10, ef=64)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_leann_sketch_gate_recompute(self, setup):
         x, q, g, sk, true_ids = setup
         cfg = dataclasses.replace(

@@ -80,6 +80,7 @@ class TestGraphInvariants:
         d=st.integers(4, 24),
         seed=st.integers(0, 2**16),
     )
+    @pytest.mark.slow
     def test_build_structural_invariants(self, n, d, seed):
         rng = np.random.default_rng(seed)
         x = rng.standard_normal((n, d)).astype(np.float32)
@@ -103,6 +104,7 @@ class TestPQInvariants:
         n=st.integers(40, 150),
         seed=st.integers(0, 2**16),
     )
+    @pytest.mark.slow
     def test_encode_decode_shapes_and_nonneg(self, n, seed):
         rng = np.random.default_rng(seed)
         d, sq, k = 16, 4, 16

@@ -27,6 +27,7 @@ def test_devices_available():
 
 
 @pytest.mark.parametrize("n_shards,n_dp", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_build_and_search_recall(n_shards, n_dp):
     n, dim, k = 800, 32, 10
     x = make_vectors(n, dim, seed=30)
@@ -131,6 +132,7 @@ def test_sharded_recompute_search():
     assert r >= 0.85, r
 
 
+@pytest.mark.slow
 def test_sharded_extend():
     from islands_tpu.parallel.sharded import extend_sharded
 
@@ -159,6 +161,7 @@ def test_sharded_extend():
     assert np.any(np.asarray(ids) >= n0)  # appended region reachable
 
 
+@pytest.mark.slow
 def test_sharded_extend_reuses_executables():
     from islands_tpu.core import build as build_mod
     from islands_tpu.parallel.sharded import extend_sharded
@@ -178,6 +181,7 @@ def test_sharded_extend_reuses_executables():
     assert build_mod.wave_step._cache_size() == before
 
 
+@pytest.mark.slow
 def test_sharded_save_load(tmp_path):
     from islands_tpu.parallel.sharded import load_sharded, save_sharded
 
@@ -213,6 +217,7 @@ def test_sharded_mesh_mismatch_raises(tmp_path):
         load_sharded(p, mesh4)
 
 
+@pytest.mark.slow
 def test_multislice_mesh_hierarchical_merge():
     """(slice, shards, dp) mesh: per-slice ICI merge then DCN merge of
     top-k only. Results must equal the flat-mesh search."""
@@ -244,6 +249,7 @@ def test_multislice_mesh_hierarchical_merge():
     assert np.all(np.asarray(ids) >= 0)
 
 
+@pytest.mark.slow
 def test_sharded_extend_after_load(tmp_path):
     """save/load must round-trip the construction config so extend keeps
     the graph's m0/slack instead of falling back to defaults."""

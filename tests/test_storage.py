@@ -135,6 +135,7 @@ class TestIndexRoundTrip:
         ))
         return idx, x, prov
 
+    @pytest.mark.slow
     def test_round_trip_search_identical(self, built, tmp_path):
         idx, x, prov = built
         path = tmp_path / "index.leann"
@@ -214,6 +215,7 @@ class TestHnswRoundTrip:
         with pytest.raises(StorageError):
             save_hnsw(HnswIndex(), tmp_path / "x.hnsw")
 
+    @pytest.mark.slow
     def test_storage_under_5pct_of_raw(self, tmp_path):
         # The LEANN paper target (BASELINE.md): index < 5% of raw embeddings
         # at realistic scale. At n=2000, d=768: raw = 6.1 MB; graph m0=16
