@@ -32,8 +32,8 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 2048))
-QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 1024))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
+QUERY_BATCH = int(os.environ.get("BENCH_QUERY_BATCH", 4096))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1050))
 TARGET_RECALL = 0.9
 REF_QPS = 1000.0  # fallback only; see module docstring
@@ -189,20 +189,21 @@ def main():
     log(f"build {build_s:.1f}s = {build_vps:.0f} vec/s "
         f"({build_vps / ref_build_vps:.1f}x baseline)")
 
-    # --- ground truth ---
+    # --- ground truth (batch sized so the [Q, batch] chunk stays ~2 GB
+    # next to the live graph + sketch state) ---
     log("ground truth (brute force)")
-    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=262144)
+    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=131072)
     true_ids = np.asarray(true_ids)
     _RESULT["stage"] = "ground_truth"
 
     searcher = StoredSearcher(graph, x, metric, sketch=sketch)
 
-    def run(ef, gate):
+    def run(ef, gate, promote=None):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
                 queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
-                gate=gate,
+                gate=gate, promote_width=promote,
             )
             ids_all.append(np.asarray(ids))
         return np.concatenate(ids_all)
@@ -215,18 +216,22 @@ def main():
             ])
         )
 
-    def timed(ef, gate, reps=5):
+    def timed(ef, gate, promote=None, reps=5):
         t0 = time.perf_counter()
         for _ in range(reps):
             for s in range(0, N_QUERIES, QUERY_BATCH):
                 d, i = searcher.search(
                     queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
-                    gate=gate,
+                    gate=gate, promote_width=promote,
                 )
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    def record(qps, ef, gate, rec):
+    def record(qps, ef, gate, rec, promote=None):
+        _RESULT.setdefault("rungs", []).append({
+            "gate": gate, "ef": ef, "promote": promote,
+            "recall": round(rec, 4), "qps": round(qps, 1),
+        })
         if qps > _RESULT["value"]:
             _RESULT.update(
                 value=round(qps, 1),
@@ -234,20 +239,34 @@ def main():
                 recall_at_10=round(rec, 4),
                 ef=ef,
                 gate=gate,
+                promote=promote,
                 stage="query",
             )
-            log(f"recorded {gate}@ef={ef}: {qps:.0f} QPS @ recall {rec:.4f} "
-                f"({qps / ref_qps:.2f}x baseline)")
+            log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
+                f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder: known-good operating point first so a budget timeout still
-    # records a full result; wider rungs only if recall misses; a faster
-    # upside rung only with budget to spare. Each new (ef, gate) pays one
-    # executable load, so the ladder is deliberately short.
-    ladder = [
-        ("sketch", 32), ("sketch", 48), ("exact", 48), ("exact", 64),
-        ("exact", 96), ("exact", 128),
+    # Ladder (tuned on-chip, benches/tune_1m.py run A at 1Mx128):
+    # 1. sketch@ef=32, default promote: max-QPS point (~19.7k QPS @ .929).
+    # 2. sketch@ef=32, promote_width=48: recall-margin point (~.943) —
+    #    measured if budget allows even after rung 1 records, so the JSON
+    #    carries both operating points in "rungs".
+    # Fallback rungs only run if neither tuned point clears TARGET_RECALL.
+    primary = [("sketch", 32, None), ("sketch", 32, 48)]
+    fallback = [
+        ("sketch", 48, None), ("exact", 48, None), ("exact", 64, None),
+        ("exact", 96, None), ("exact", 128, None),
     ]
-    for gate, ef in ladder:
+    for gate, ef, promote in primary:
+        if budget_left() < 60:
+            log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
+            break
+        log(f"recall check: {gate}@ef={ef}/p={promote}")
+        rec = recall_of(run(ef, gate, promote))
+        log(f"  recall {rec:.4f}")
+        if rec >= TARGET_RECALL:
+            record(timed(ef, gate, promote), ef, gate, rec, promote)
+
+    for gate, ef, promote in fallback:
         if _RESULT["value"] > 0:
             break
         if budget_left() < 60:
@@ -258,14 +277,6 @@ def main():
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
             record(timed(ef, gate), ef, gate, rec)
-
-    # Upside rung: ef=24 sketch gate (~16k+ QPS if over the recall line).
-    if _RESULT["value"] > 0 and _RESULT.get("gate") == "sketch" and budget_left() > 150:
-        log("upside rung: sketch@ef=24")
-        rec = recall_of(run(24, "sketch"))
-        log(f"  recall {rec:.4f}")
-        if rec >= TARGET_RECALL:
-            record(timed(24, "sketch"), 24, "sketch", rec)
 
     if _RESULT["value"] == 0 and budget_left() > 90:
         # No rung reached target recall: report exact@256 honestly.

@@ -1,84 +1,98 @@
-"""Encoder throughput / MFU measurement (VERDICT r2 #5).
+"""Encoder throughput + MFU on the real chip (VERDICT r2 item 5).
 
-Measures tokens/s of the jitted BERT forward (models/bert.py) on the real
-chip across batch sizes at seq=256 (the reference's max_seq_length,
-Cargo.toml:40), for minilm-l6 and bge-base, and reports model FLOPs
-utilization against the v5e bf16 peak (197 TFLOP/s).
+Measures `models/bert.py` tokens/s across batch sizes for minilm-l6 and
+bge-base at seq 256, reports model FLOPs utilization against the v5e
+bf16 peak (197 TFLOP/s), steady-state timed by chaining dependent
+iterations inside one jit (CLAUDE.md fact #11).
 
-The reference's Candle path serializes all inference behind a Mutex
-(candle_provider.rs:212-225) on CPU/GPU; this is the boundary recompute
-mode is bound by (BENCH_EXTRA config 1/3), so the ratio here is the
-recompute-mode headroom.
+Reference boundary being measured: the Candle forward pass the reference
+serializes behind a Mutex (src/core/embedding/candle_provider.rs:212-225,
+353-507).
 
-Run on the chip: /opt/venv/bin/python benches/encoder_bench.py
+    /opt/venv/bin/python benches/encoder_bench.py
 """
 
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
 
-V5E_BF16_PEAK = 197e12
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+V5E_PEAK_BF16 = 197e12
 
 
-def model_flops_per_token(h: int, i: int, seq: int, layers: int) -> float:
-    """Matmul FLOPs per token per forward: QKV+O projections (8h^2), FFN
-    (4hi), attention scores+context (4h*seq); embeddings/layernorm ignored
-    (<1%)."""
-    return layers * (8.0 * h * h + 4.0 * h * i + 4.0 * h * seq)
+def model_flops_per_token(cfg, seq):
+    """Forward-pass FLOPs per token (2*MACs): QKVO + attention + FFN."""
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    per_layer = (
+        2 * 4 * h * h          # q, k, v, o projections
+        + 2 * 2 * seq * h      # scores (q·k) + context (p·v), per query token
+        + 2 * 2 * h * i        # ffn in + out
+    )
+    return L * per_layer
 
 
-def main():
-    from islands_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
+def bench_config(name, cfg, seq, batches, reps=8, chain=4):
     import jax
     import jax.numpy as jnp
 
     from islands_tpu.models import bert as bert_mod
 
-    seq = 256
-    results = []
-    for preset in ("minilm-l6", "bge-base"):
-        cfg = getattr(bert_mod.BertConfig, preset.replace("-", "_"))()
-        params = bert_mod.init_params(cfg, seed=0)
-        fpt = model_flops_per_token(
-            cfg.hidden_size, cfg.intermediate_size, seq, cfg.num_hidden_layers
-        )
+    params = bert_mod.init_params(cfg, seed=0)
+    rows = []
+    for b in batches:
+        rng = np.random.default_rng(b)
+        ids = jnp.asarray(
+            rng.integers(1, cfg.vocab_size, size=(b, seq)), jnp.int32)
+        mask = jnp.ones((b, seq), jnp.int32)
 
-        fwd = jax.jit(
-            lambda p, ids, mask: bert_mod.mean_pool_normalize(
-                bert_mod.bert_forward(p, ids, mask, cfg), mask
-            )
-        )
-        rng = np.random.default_rng(0)
-        for batch in (32, 64, 128, 256, 512):
-            ids = jnp.asarray(
-                rng.integers(1000, 20000, size=(batch, seq)), dtype=jnp.int32
-            )
-            mask = jnp.ones((batch, seq), dtype=jnp.int32)
-            jax.block_until_ready(fwd(params, ids, mask))  # compile/load
-            # Steady state: chain reps with varied inputs (constant-folding
-            # guard, CLAUDE.md fact #5).
-            reps = 20
-            t0 = time.perf_counter()
-            out = None
-            for r in range(reps):
-                out = fwd(params, jnp.roll(ids, r, axis=0), mask)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            tok_s = batch * seq * reps / dt
-            mfu = tok_s * fpt / V5E_BF16_PEAK
-            row = {
-                "preset": preset, "batch": batch, "seq": seq,
-                "tokens_per_s": round(tok_s, 0),
-                "texts_per_s": round(tok_s / seq, 1),
-                "mfu_pct": round(100 * mfu, 1),
-            }
-            results.append(row)
-            print(json.dumps(row), file=sys.stderr, flush=True)
-    print(json.dumps(results))
+        @jax.jit
+        def chained(params, ids, mask):
+            # Chain dependent forwards so device time dominates dispatch:
+            # feed a data-dependent token shift back into the next call.
+            def body(c, _):
+                emb = bert_mod.encode(params, c, mask, cfg)
+                shift = (jnp.abs(emb[:, :1]) * 0).astype(jnp.int32)
+                return c + shift, emb[:, 0]
+            c, outs = jax.lax.scan(body, ids, None, length=chain)
+            return outs
+
+        out = chained(params, ids, mask)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = chained(params, ids, mask)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / (reps * chain)
+        toks = b * seq
+        fpt = model_flops_per_token(cfg, seq)
+        mfu = toks * fpt / dt / V5E_PEAK_BF16
+        row = {"model": name, "batch": b, "seq": seq,
+               "tokens_per_s": round(toks / dt, 0),
+               "texts_per_s": round(b / dt, 1),
+               "ms_per_batch": round(dt * 1e3, 2),
+               "mfu": round(mfu, 4)}
+        rows.append(row)
+        print(f"{name} b={b}: {toks/dt/1e6:.2f}M tok/s, "
+              f"{b/dt:.0f} texts/s, MFU {mfu:.1%}", file=sys.stderr, flush=True)
+    return rows
+
+
+def main():
+    from islands_tpu.models.bert import BertConfig
+    from islands_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    seq = 256
+    out = {"seq": seq, "peak_flops": V5E_PEAK_BF16, "rows": []}
+    out["rows"] += bench_config("minilm-l6", BertConfig.minilm_l6(), seq,
+                                (64, 256, 1024))
+    out["rows"] += bench_config("bge-base", BertConfig.bge_base(), seq,
+                                (64, 256, 512))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

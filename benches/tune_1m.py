@@ -35,16 +35,23 @@ def run(tag, dims, efc, mult):
                       ef_construction=efc, sketch_pool_mult=mult)
     x, queries = make_bench_corpus(n, dim, nq)
 
+    # Ground truth first (before build state occupies HBM) and cached on
+    # disk — identical corpus across A/B/C/D runs.
+    gt_path = pathlib.Path(f"/tmp/gt_{n}_{dim}_{nq}.npy")
+    if gt_path.exists():
+        true_ids = np.load(gt_path)
+    else:
+        _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric,
+                                                batch=65536)
+        true_ids = np.asarray(true_ids)
+        np.save(gt_path, true_ids)
+
     t0 = time.perf_counter()
     graph, sketch = build_index_with_sketch(x, cfg)
     jax.block_until_ready(graph.neighbors)
     build_s = time.perf_counter() - t0
     print(f"[{tag}] build {build_s:.1f}s ({n / build_s:.0f} vec/s)",
           file=sys.stderr, flush=True)
-
-    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric,
-                                            batch=262144)
-    true_ids = np.asarray(true_ids)
     searcher = StoredSearcher(graph, x, metric, sketch=sketch)
 
     def recall_of(ids):

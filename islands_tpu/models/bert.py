@@ -122,9 +122,9 @@ def init_params(config: BertConfig, seed: int = 0) -> dict:
             "ln_bias": zeros(h),
         },
         "layers": {
-            "q_w": w(L, h, h), "q_b": zeros(L, h),
-            "k_w": w(L, h, h), "k_b": zeros(L, h),
-            "v_w": w(L, h, h), "v_b": zeros(L, h),
+            # q/k/v fused into one [h, 3h] projection: one large MXU matmul
+            # per layer instead of three h x h ones.
+            "qkv_w": w(L, h, 3 * h), "qkv_b": zeros(L, 3 * h),
             "o_w": w(L, h, h), "o_b": zeros(L, h),
             "attn_ln_scale": ones(L, h), "attn_ln_bias": zeros(L, h),
             "ffn_in_w": w(L, h, i), "ffn_in_b": zeros(L, i),
@@ -170,15 +170,24 @@ def bert_forward(
 
     def dense(v, wname, bname, lp):
         return (
-            jnp.dot(v, lp[wname].astype(dtype), preferred_element_type=jnp.float32)
+            jnp.dot(v, lp[wname], preferred_element_type=jnp.float32)
             + lp[bname]
         ).astype(dtype)
 
+    # One-time bf16 cast of the scan-carried weight matrices: casting inside
+    # the layer body re-reads every matrix from HBM in f32 each layer (2x the
+    # weight bandwidth). LN params and biases stay f32 (added post-matmul in
+    # f32 accumulation).
+    layers = {
+        k_: (v_.astype(dtype) if k_.endswith("_w") else v_)
+        for k_, v_ in params["layers"].items()
+    }
+
     def layer_body(carry, lp):
         x = carry
-        q = dense(x, "q_w", "q_b", lp).reshape(b, slen, nh, hd).transpose(0, 2, 1, 3)
-        k = dense(x, "k_w", "k_b", lp).reshape(b, slen, nh, hd).transpose(0, 2, 1, 3)
-        v = dense(x, "v_w", "v_b", lp).reshape(b, slen, nh, hd).transpose(0, 2, 1, 3)
+        qkv = dense(x, "qkv_w", "qkv_b", lp)
+        qkv = qkv.reshape(b, slen, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
         scores = (
             jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
             / np.sqrt(hd)
@@ -196,7 +205,7 @@ def bert_forward(
         x = _layer_norm(x + ff, lp["ffn_ln_scale"], lp["ffn_ln_bias"], eps)
         return x, None
 
-    x, _ = jax.lax.scan(layer_body, x, params["layers"])
+    x, _ = jax.lax.scan(layer_body, x, layers)
     return x.astype(jnp.float32)
 
 
@@ -232,9 +241,6 @@ def encode(
 # ---------------------------------------------------------------------------
 
 _HF_LAYER_KEYS = {
-    "q_w": "attention.self.query.weight", "q_b": "attention.self.query.bias",
-    "k_w": "attention.self.key.weight", "k_b": "attention.self.key.bias",
-    "v_w": "attention.self.value.weight", "v_b": "attention.self.value.bias",
     "o_w": "attention.output.dense.weight", "o_b": "attention.output.dense.bias",
     "attn_ln_scale": "attention.output.LayerNorm.weight",
     "attn_ln_bias": "attention.output.LayerNorm.bias",
@@ -286,4 +292,16 @@ def load_hf_checkpoint(path: str | Path) -> tuple[dict, BertConfig]:
         if ours.endswith("_w"):
             stacked = stacked.transpose(0, 2, 1)  # HF stores [out, in]
         params["layers"][ours] = stacked
+    # HF's separate q/k/v projections fuse into one [in, 3*out] matmul
+    # (column blocks ordered q, k, v — bert_forward splits on that order).
+    qkv_w, qkv_b = [], []
+    for i in range(L):
+        base = f"encoder.layer.{i}.attention.self"
+        qkv_w.append(jnp.concatenate(
+            [get(f"{base}.{p}.weight").T for p in ("query", "key", "value")],
+            axis=1))
+        qkv_b.append(jnp.concatenate(
+            [get(f"{base}.{p}.bias") for p in ("query", "key", "value")]))
+    params["layers"]["qkv_w"] = jnp.stack(qkv_w)
+    params["layers"]["qkv_b"] = jnp.stack(qkv_b)
     return params, config
