@@ -119,3 +119,35 @@ def test_single_node_graph():
     d, ids = StoredSearcher(graph, x, DistanceMetric.EUCLIDEAN).search(x, k=1, ef=4)
     assert int(np.asarray(ids)[0, 0]) == 0
     assert float(np.asarray(d)[0, 0]) < 1e-5
+
+
+def test_promote_width_knob():
+    """promote_width caps exact scoring per hop in the sketch gate; wider
+    promotion must not lose recall (monotone triage budget; round-3 tuning
+    knob for the QPS/recall operating point)."""
+    from islands_tpu.core.build import build_index_with_sketch
+    from islands_tpu.core.config import LeannConfig
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim = 400, 32
+    x = make_vectors(n, dim, seed=33)
+    cfg = LeannConfig(metric=metric, m=8, m0=16, reverse_slack=16, wave_size=128,
+                      ef_construction=32, sketch_dims=16)
+    graph, sketch = build_index_with_sketch(x, cfg)
+    s = StoredSearcher(graph, x, metric, sketch=sketch)
+    q = make_vectors(16, dim, seed=34)
+    _, gt = D.brute_force_topk(q, x, 10, metric)
+    gt = np.asarray(gt)
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10.0
+            for i in range(len(gt))
+        ])
+
+    _, ids_narrow = s.search(q, k=10, ef=32, gate="sketch", promote_width=8)
+    _, ids_wide = s.search(q, k=10, ef=32, gate="sketch", promote_width=32)
+    r_narrow, r_wide = recall(ids_narrow), recall(ids_wide)
+    assert r_wide >= r_narrow - 0.05, (r_narrow, r_wide)
+    assert r_wide >= 0.8, r_wide
