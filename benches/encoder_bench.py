@@ -35,7 +35,9 @@ def model_flops_per_token(cfg, seq):
     return L * per_layer
 
 
-def bench_config(name, cfg, seq, batches, reps=8, chain=4):
+def bench_config(name, cfg, seq, batches, reps=3, chains=(4, 20)):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -49,24 +51,37 @@ def bench_config(name, cfg, seq, batches, reps=8, chain=4):
             rng.integers(1, cfg.vocab_size, size=(b, seq)), jnp.int32)
         mask = jnp.ones((b, seq), jnp.int32)
 
-        @jax.jit
-        def chained(params, ids, mask):
-            # Chain dependent forwards so device time dominates dispatch:
-            # feed a data-dependent token shift back into the next call.
+        @functools.partial(jax.jit, static_argnames="length")
+        def chained(params, ids, mask, length):
+            # Chain data-dependent forwards inside one executable so device
+            # time dominates tunnel dispatch (CLAUDE.md fact #11). The
+            # carried token shift is zero at runtime but NOT provably zero
+            # at compile time (f32 embedding values scaled below int32
+            # resolution), so XLA cannot hoist or elide iterations.
             def body(c, _):
                 emb = bert_mod.encode(params, c, mask, cfg)
-                shift = (jnp.abs(emb[:, :1]) * 0).astype(jnp.int32)
+                shift = (emb[:, :1] * 1e-12).astype(jnp.int32)
                 return c + shift, emb[:, 0]
-            c, outs = jax.lax.scan(body, ids, None, length=chain)
+            c, outs = jax.lax.scan(body, ids, None, length=length)
             return outs
 
-        out = chained(params, ids, mask)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = chained(params, ids, mask)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / (reps * chain)
+        def timed(length):
+            # Sync via host transfer: through the axon tunnel
+            # block_until_ready can return before the executable finishes
+            # (measured: chain length had zero wall-clock effect); copying
+            # the tiny [chain, b] output to numpy is a true barrier.
+            np.asarray(chained(params, ids, mask, length=length))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(chained(params, ids, mask, length=length))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # Differential timing: per-forward cost from the slope between two
+        # chain lengths cancels the constant per-dispatch tunnel overhead.
+        t_short, t_long = timed(chains[0]), timed(chains[1])
+        dt = (t_long - t_short) / (chains[1] - chains[0])
         toks = b * seq
         fpt = model_flops_per_token(cfg, seq)
         mfu = toks * fpt / dt / V5E_PEAK_BF16
