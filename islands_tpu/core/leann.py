@@ -206,9 +206,12 @@ class LeannIndex:
         expand_width: int | None = None,
         max_iters: int | None = None,
         gate: str = "auto",
+        promote_width: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched recompute search: queries [B, d] (or [d]) ->
         (dists [B, k], ids [B, k]) ascending; unfilled slots (inf, -1).
+        `promote_width` (sketch gate) caps recomputed candidates per hop —
+        the direct encoder-budget knob in recompute deployments.
 
         Algorithm 1 + the configured pruning strategy (prune_ratio > 0
         reduces how many neighbor embeddings are recomputed per hop).
@@ -248,7 +251,7 @@ class LeannIndex:
 
             qp = dist_ops.prep_query(q, self.config.metric)
             qs = proj_ops.sketch_query(qp, self.sketch.w, self.sketch.scale)
-            promote = max(8, min(2 * expand_width * 4, ef))
+            promote = promote_width or max(8, min(2 * expand_width * 4, ef))
             if max_iters is None:  # gate-appropriate default, caller wins
                 max_iters = 8 * max(ef // promote, 1) + 32
             dists, ids, n_exact = batched_sketch_gated_query(
