@@ -63,13 +63,19 @@ def run(tag, dims, efc, mult):
     out = {"tag": tag, "dims": dims, "efc": efc, "mult": mult,
            "build_s": round(build_s, 1)}
 
-    def measure(ef, batch, promote=None, label=None):
-        label = label or f"ef{ef}_b{batch}" + (f"_p{promote}" if promote else "")
+    def measure(ef, batch, promote=None, label=None, max_iters=None,
+                expand=4):
+        label = label or (
+            f"ef{ef}_b{batch}" + (f"_p{promote}" if promote else "")
+            + (f"_i{max_iters}" if max_iters else "")
+            + (f"_x{expand}" if expand != 4 else "")
+        )
         ids_all = []
         for s in range(0, nq, batch):
             _, ids = searcher.search(queries[s:s + batch], k=10, ef=ef,
-                                     expand_width=4, gate="sketch",
-                                     promote_width=promote)
+                                     expand_width=expand, gate="sketch",
+                                     promote_width=promote,
+                                     max_iters=max_iters)
             ids_all.append(np.asarray(ids))
         rec = recall_of(np.concatenate(ids_all))
         reps = 3
@@ -77,8 +83,9 @@ def run(tag, dims, efc, mult):
         for _ in range(reps):
             for s in range(0, nq, batch):
                 d, i = searcher.search(queries[s:s + batch], k=10, ef=ef,
-                                       expand_width=4, gate="sketch",
-                                       promote_width=promote)
+                                       expand_width=expand, gate="sketch",
+                                       promote_width=promote,
+                                       max_iters=max_iters)
             jax.block_until_ready((d, i))
         qps = nq / ((time.perf_counter() - t0) / reps)
         out[label] = {"recall": round(rec, 4), "qps": round(qps, 0)}
@@ -92,6 +99,15 @@ def run(tag, dims, efc, mult):
         measure(32, 2048, promote=48)
         measure(24, 2048)
         measure(48, 2048)
+    elif tag == "E":
+        # Iteration-bound hypothesis (facts: ef24 == ef32 QPS at default
+        # max_iters=40): sweep the iteration cap and expansion width.
+        measure(32, 4096)                      # baseline i40
+        for mi in (32, 28, 24, 20):
+            measure(32, 4096, max_iters=mi)
+        measure(32, 4096, max_iters=24, expand=6)
+        measure(32, 4096, max_iters=20, expand=8)
+        measure(32, 4096, max_iters=28, promote=48)
     else:
         measure(32, 2048)
         measure(24, 2048)
