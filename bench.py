@@ -198,12 +198,12 @@ def main():
 
     searcher = StoredSearcher(graph, x, metric, sketch=sketch)
 
-    def run(ef, gate, promote=None):
+    def run(ef, gate, promote=None, max_iters=None):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
                 queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
-                gate=gate, promote_width=promote,
+                gate=gate, promote_width=promote, max_iters=max_iters,
             )
             ids_all.append(np.asarray(ids))
         return np.concatenate(ids_all)
@@ -216,20 +216,21 @@ def main():
             ])
         )
 
-    def timed(ef, gate, promote=None, reps=5):
+    def timed(ef, gate, promote=None, max_iters=None, reps=5):
         t0 = time.perf_counter()
         for _ in range(reps):
             for s in range(0, N_QUERIES, QUERY_BATCH):
                 d, i = searcher.search(
                     queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
-                    gate=gate, promote_width=promote,
+                    gate=gate, promote_width=promote, max_iters=max_iters,
                 )
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    def record(qps, ef, gate, rec, promote=None):
+    def record(qps, ef, gate, rec, promote=None, max_iters=None):
         _RESULT.setdefault("rungs", []).append({
             "gate": gate, "ef": ef, "promote": promote,
+            "max_iters": max_iters,
             "recall": round(rec, 4), "qps": round(qps, 1),
         })
         if qps > _RESULT["value"]:
@@ -245,38 +246,44 @@ def main():
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder (tuned on-chip, benches/tune_1m.py run A at 1Mx128):
-    # 1. sketch@ef=32, default promote: max-QPS point (~19.7k QPS @ .929).
-    # 2. sketch@ef=32, promote_width=48: recall-margin point (~.943) —
-    #    measured if budget allows even after rung 1 records, so the JSON
-    #    carries both operating points in "rungs".
-    # Fallback rungs only run if neither tuned point clears TARGET_RECALL.
-    primary = [("sketch", 32, None), ("sketch", 32, 48)]
+    # Ladder (tuned on-chip, benches/tune_1m.py runs A and E at 1Mx128).
+    # The batched while_loop runs until the SLOWEST query in the batch
+    # converges, so the default cap (40 at ef=32/p=32) mostly burns hops on
+    # one straggler; capping max_iters trades its tail recall for batch QPS:
+    # 1. sketch@ef=32, max_iters=24: max-QPS point (.9183 @ ~29.3k QPS).
+    # 2. sketch@ef=32, p=48, max_iters=28: recall-margin point
+    #    (.9415 @ ~22.9k) — measured if budget allows even after rung 1
+    #    records, so the JSON carries both operating points in "rungs".
+    # Fallback rungs only run if no tuned point clears TARGET_RECALL.
+    primary = [("sketch", 32, None, 24), ("sketch", 32, 48, 28)]
     fallback = [
-        ("sketch", 48, None), ("exact", 48, None), ("exact", 64, None),
-        ("exact", 96, None), ("exact", 128, None),
+        ("sketch", 32, None, 28), ("sketch", 32, None, None),
+        ("sketch", 48, None, None), ("exact", 64, None, None),
+        ("exact", 96, None, None), ("exact", 128, None, None),
     ]
-    for gate, ef, promote in primary:
+    for gate, ef, promote, max_iters in primary:
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
-        log(f"recall check: {gate}@ef={ef}/p={promote}")
-        rec = recall_of(run(ef, gate, promote))
+        log(f"recall check: {gate}@ef={ef}/p={promote}/i={max_iters}")
+        rec = recall_of(run(ef, gate, promote, max_iters))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate, promote), ef, gate, rec, promote)
+            record(timed(ef, gate, promote, max_iters), ef, gate, rec,
+                   promote, max_iters)
 
-    for gate, ef, promote in fallback:
+    for gate, ef, promote, max_iters in fallback:
         if _RESULT["value"] > 0:
             break
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
-        log(f"recall check: {gate}@ef={ef}")
-        rec = recall_of(run(ef, gate))
+        log(f"recall check: {gate}@ef={ef}/i={max_iters}")
+        rec = recall_of(run(ef, gate, promote, max_iters))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate), ef, gate, rec)
+            record(timed(ef, gate, promote, max_iters), ef, gate, rec,
+                   promote, max_iters)
 
     if _RESULT["value"] == 0 and budget_left() > 90:
         # No rung reached target recall: report exact@256 honestly.

@@ -118,6 +118,6 @@ def run(tag, dims, efc, mult):
 if __name__ == "__main__":
     tag = sys.argv[1] if len(sys.argv) > 1 else "A"
     cfgs = {"A": (32, 64, 2), "B": (48, 64, 2), "C": (32, 64, 3),
-            "D": (48, 64, 3)}
+            "D": (48, 64, 3), "E": (32, 64, 2)}
     dims, efc, mult = cfgs[tag]
     run(tag, dims, efc, mult)
