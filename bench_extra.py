@@ -108,11 +108,11 @@ def config1_self_index():
     }
 
 
-def config3_recompute_100k():
-    """LEANN recompute search at 131072 chunks with the on-TPU encoder
-    (BASELINE config 3). The corpus is synthetic token tables (zero-egress
-    environment); the encoder arithmetic, graph, and recompute pipeline are
-    the real thing."""
+def config3_setup(qn=256):
+    """Build the config-3 workload: 131k synthetic token-table chunks,
+    minilm-class on-TPU encoder, recompute-mode LeannIndex. Returns
+    (idx, provider, q, true_ids, build_s). Shared with
+    benches/recompute_iters.py so sweeps run on the identical corpus."""
     import jax
     import jax.numpy as jnp
 
@@ -149,13 +149,23 @@ def config3_recompute_100k():
     build_s = time.perf_counter() - t0
 
     emb = materialize_embeddings(provider, N)
-    qn = 256
     q = np.asarray(emb[:qn])
     _, true_ids = dist_ops.brute_force_topk(
         jnp.asarray(q), emb, 10, cfg.metric, batch=131072
     )
     true_ids = np.asarray(true_ids)
     del emb
+    return idx, provider, q, true_ids, build_s
+
+
+def config3_recompute_100k():
+    """LEANN recompute search at 131072 chunks with the on-TPU encoder
+    (BASELINE config 3). The corpus is synthetic token tables (zero-egress
+    environment); the encoder arithmetic, graph, and recompute pipeline are
+    the real thing."""
+    qn = 256
+    idx, provider, q, true_ids, build_s = config3_setup(qn)
+    N = idx.num_nodes
 
     out = {"metric": "config3_recompute_131072", "n_chunks": N,
            "build_seconds": round(build_s, 2),

@@ -1,0 +1,68 @@
+"""Iteration-cap sweep for recompute mode (BASELINE config 3, 131k chunks).
+
+Recompute-mode cost is encoder-bound: encodes/query = promote_width x hop
+iterations actually run (CLAUDE.md fact 21). The batched query loop runs to
+the slowest query's convergence (fact 23), so capping max_iters cuts encoder
+work directly. Sweeps max_iters at the tuned ef=48 operating points.
+
+    /opt/venv/bin/python benches/recompute_iters.py
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    from islands_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from bench_extra import _recall, config3_setup
+
+    qn = 256
+    idx, provider, q, true_ids, build_s = config3_setup(qn)
+    print(f"build {build_s:.1f}s", file=sys.stderr, flush=True)
+    out = {"metric": "config3_max_iters_sweep", "build_s": round(build_s, 1)}
+
+    def measure(ef, promote, max_iters, bs=64):
+        idx.last_recompute_fraction = None
+        ids = []
+        for s in range(0, qn, bs):
+            _, i = idx.search(q[s:s + bs], k=10, provider=provider, ef=ef,
+                              gate="sketch", promote_width=promote,
+                              max_iters=max_iters)
+            ids.append(np.asarray(i))
+        rec = _recall(np.concatenate(ids), true_ids)
+        rf = idx.last_recompute_fraction
+        t0 = time.perf_counter()
+        for s in range(0, qn, bs):
+            idx.search(q[s:s + bs], k=10, provider=provider, ef=ef,
+                       gate="sketch", promote_width=promote,
+                       max_iters=max_iters)
+        qps = qn / (time.perf_counter() - t0)
+        label = f"ef{ef}_p{promote}_i{max_iters or 'def'}"
+        out[label] = {"recall": round(rec, 4), "qps": round(qps, 1),
+                      "recompute_fraction": round(rf, 5) if rf else None}
+        print(f"{label}: recall {rec:.4f}, {qps:.1f} QPS, rf {rf:.5f}",
+              file=sys.stderr, flush=True)
+
+    # Round 1 of this sweep (committed in the git log): default cap 40 =
+    # .9242 @ 18.6; i28 .8965 @ 26.3; i24 .8746 @ 30.4 — QPS tracks 1/iters
+    # exactly (encoder roofline) but recall falls faster than the 1M
+    # stored-embedding case (fact 23). Refinement: find the >= .9 crossing.
+    measure(48, 32, 36)
+    measure(48, 32, 32)
+    measure(64, 32, 32)            # higher base recall (.9242 @ 15.2 @ i48)
+    measure(64, 32, 28)
+    measure(64, 48, 28)            # wider promote at a hard cap
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

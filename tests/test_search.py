@@ -151,3 +151,40 @@ def test_promote_width_knob():
     r_narrow, r_wide = recall(ids_narrow), recall(ids_wide)
     assert r_wide >= r_narrow - 0.05, (r_narrow, r_wide)
     assert r_wide >= 0.8, r_wide
+
+
+def test_max_iters_knob():
+    """max_iters caps hop iterations (the batched loop runs to the slowest
+    query's convergence — round-3 QPS/tail-recall knob, CLAUDE.md fact 23).
+    A generous cap must match the default; a starved cap degrades recall
+    gracefully and still returns valid ids on both gates."""
+    from islands_tpu.core.build import build_index_with_sketch
+    from islands_tpu.core.config import LeannConfig
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim = 400, 32
+    x = make_vectors(n, dim, seed=43)
+    cfg = LeannConfig(metric=metric, m=8, m0=16, reverse_slack=16, wave_size=128,
+                      ef_construction=32, sketch_dims=16)
+    graph, sketch = build_index_with_sketch(x, cfg)
+    s = StoredSearcher(graph, x, metric, sketch=sketch)
+    q = make_vectors(16, dim, seed=44)
+    _, gt = D.brute_force_topk(q, x, 10, metric)
+    gt = np.asarray(gt)
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10.0
+            for i in range(len(gt))
+        ])
+
+    for gate in ("sketch", "exact"):
+        _, ids_default = s.search(q, k=10, ef=32, gate=gate)
+        _, ids_capped = s.search(q, k=10, ef=32, gate=gate, max_iters=100)
+        assert recall(ids_capped) >= recall(ids_default) - 1e-9, gate
+        _, ids_starved = s.search(q, k=10, ef=32, gate=gate, max_iters=2)
+        ids_starved = np.asarray(ids_starved)
+        assert ids_starved.shape == (16, 10)
+        valid = ids_starved[ids_starved >= 0]
+        assert valid.size > 0 and valid.max() < n, gate
