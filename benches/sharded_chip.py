@@ -63,11 +63,17 @@ def main(n_m: float = 2.0):
     searcher = ArchipelagoSearcher(idx)
     out = {"n": n, "dim": dim, "shards": 1, "build_s": round(build_s, 1),
            "build_vps": round(n / build_s, 0)}
-    for gate, ef in (("sketch", 32), ("sketch", 48), ("exact", 64)):
+    # Exact gate default cap at ef=64/x4 is 80 iterations; the batched loop
+    # is straggler-bound (design.md §13), so capped rungs trade tail recall
+    # for QPS exactly as at 1M.
+    for gate, ef, mi in (
+        ("sketch", 32, None), ("exact", 64, None), ("exact", 64, 48),
+        ("exact", 64, 40), ("exact", 64, 32),
+    ):
         ids_all = []
         for s in range(0, nq, 1024):
             _, ids = searcher.search(queries[s:s + 1024], k=10, ef=ef,
-                                     gate=gate)
+                                     gate=gate, max_iters=mi)
             ids_all.append(np.asarray(ids))
         ids = np.concatenate(ids_all)
         rec = float(np.mean([
@@ -79,11 +85,12 @@ def main(n_m: float = 2.0):
         for _ in range(reps):
             for s in range(0, nq, 1024):
                 d, i = searcher.search(queries[s:s + 1024], k=10, ef=ef,
-                                       gate=gate)
+                                       gate=gate, max_iters=mi)
         jax.block_until_ready((d, i))
         qps = nq / ((time.perf_counter() - t0) / reps)
-        out[f"{gate}_ef{ef}"] = {"recall": round(rec, 4), "qps": round(qps, 0)}
-        print(f"{gate}@ef{ef}: recall {rec:.4f}, {qps:.0f} QPS",
+        label = f"{gate}_ef{ef}" + (f"_i{mi}" if mi else "")
+        out[label] = {"recall": round(rec, 4), "qps": round(qps, 0)}
+        print(f"{label}: recall {rec:.4f}, {qps:.0f} QPS",
               file=sys.stderr, flush=True)
     print(json.dumps(out))
 
