@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def run(tag, dims, efc, mult):
+def run(tag, dims, efc, mult, wave=4096):
     from islands_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -31,7 +31,7 @@ def run(tag, dims, efc, mult):
 
     n, dim, nq = 1_000_000, 128, 4096
     metric = DistanceMetric.EUCLIDEAN
-    cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=dims,
+    cfg = LeannConfig(metric=metric, wave_size=wave, sketch_dims=dims,
                       ef_construction=efc, sketch_pool_mult=mult)
     x, queries = make_bench_corpus(n, dim, nq)
 
@@ -61,7 +61,7 @@ def run(tag, dims, efc, mult):
         ]))
 
     out = {"tag": tag, "dims": dims, "efc": efc, "mult": mult,
-           "build_s": round(build_s, 1)}
+           "wave": wave, "build_s": round(build_s, 1)}
 
     def measure(ef, batch, promote=None, label=None, max_iters=None,
                 expand=4):
@@ -108,6 +108,16 @@ def run(tag, dims, efc, mult):
         measure(32, 4096, max_iters=24, expand=6)
         measure(32, 4096, max_iters=20, expand=8)
         measure(32, 4096, max_iters=28, promote=48)
+    elif tag == "F":
+        # dims=48 fidelity (fact 16: OOMs at wave 4096; wave 2048 here):
+        # if higher-fidelity sketches hold recall at low ef/iters, the
+        # ef24-ish rungs unlock 30k+ QPS above the .9 gate.
+        measure(32, 4096, max_iters=24)        # vs dims=32: .9183 @ 29.3k
+        measure(32, 4096, max_iters=28)        # vs dims=32: .9253 @ 26.4k
+        measure(24, 4096, max_iters=24)
+        measure(24, 4096, max_iters=20)
+        measure(32, 4096)                      # uncapped fidelity ceiling
+        measure(32, 4096, max_iters=28, promote=48)  # margin point
     else:
         measure(32, 2048)
         measure(24, 2048)
@@ -117,7 +127,8 @@ def run(tag, dims, efc, mult):
 
 if __name__ == "__main__":
     tag = sys.argv[1] if len(sys.argv) > 1 else "A"
-    cfgs = {"A": (32, 64, 2), "B": (48, 64, 2), "C": (32, 64, 3),
-            "D": (48, 64, 3), "E": (32, 64, 2)}
-    dims, efc, mult = cfgs[tag]
-    run(tag, dims, efc, mult)
+    cfgs = {"A": (32, 64, 2, 4096), "B": (48, 64, 2, 4096),
+            "C": (32, 64, 3, 4096), "D": (48, 64, 3, 4096),
+            "E": (32, 64, 2, 4096), "F": (48, 64, 2, 2048)}
+    dims, efc, mult, wave = cfgs[tag]
+    run(tag, dims, efc, mult, wave)

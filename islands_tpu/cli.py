@@ -255,9 +255,13 @@ def cmd_query(args, cfg: Config) -> int:
     q = _load_vectors(args.queries)
     prov = InMemoryEmbeddingProvider(_load_vectors(args.vectors))
     if idx.pq is not None and not args.exact:
-        d, i = idx.search_two_level(q, k=args.top_k, provider=prov, ef=args.ef)
+        d, i = idx.search_two_level(q, k=args.top_k, provider=prov, ef=args.ef,
+                                    promote_width=args.promote_width,
+                                    max_iters=args.max_iters)
     else:
-        d, i = idx.search(q, k=args.top_k, provider=prov, ef=args.ef)
+        d, i = idx.search(q, k=args.top_k, provider=prov, ef=args.ef,
+                          promote_width=args.promote_width,
+                          max_iters=args.max_iters)
     print(json.dumps({
         "ids": np.asarray(i).tolist(), "distances": np.asarray(d).tolist(),
     }))
@@ -287,8 +291,12 @@ def cmd_eval(args, cfg: Config) -> int:
 
     def run():
         if idx.pq is not None and not args.exact:
-            return idx.search_two_level(q, k=k, provider=prov, ef=args.ef)
-        return idx.search(q, k=k, provider=prov, ef=args.ef)
+            return idx.search_two_level(q, k=k, provider=prov, ef=args.ef,
+                                        promote_width=args.promote_width,
+                                        max_iters=args.max_iters)
+        return idx.search(q, k=k, provider=prov, ef=args.ef,
+                          promote_width=args.promote_width,
+                          max_iters=args.max_iters)
 
     run()  # warmup/compile
     t0 = _t.perf_counter()
@@ -394,6 +402,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", "--top-k", type=int, default=10)
     sp.add_argument("--ef", type=int, default=64)
     sp.add_argument("--exact", action="store_true")
+    sp.add_argument("--promote-width", type=int, default=None,
+                    help="sketch-gate exact-scoring budget per hop")
+    sp.add_argument("--max-iters", type=int, default=None,
+                    help="hop-iteration cap (QPS/tail-recall knob, "
+                         "design.md #13)")
     sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("eval", help="recall/QPS eval vs brute force")
@@ -403,6 +416,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", "--top-k", type=int, default=10)
     sp.add_argument("--ef", type=int, default=64)
     sp.add_argument("--exact", action="store_true")
+    sp.add_argument("--promote-width", type=int, default=None,
+                    help="sketch-gate exact-scoring budget per hop")
+    sp.add_argument("--max-iters", type=int, default=None,
+                    help="hop-iteration cap (QPS/tail-recall knob, "
+                         "design.md #13)")
     sp.set_defaults(fn=cmd_eval)
 
     return p
