@@ -41,6 +41,10 @@ class Config:
     leann_m0: int = 32
     leann_ef_construction: int = 100
     leann_ef_search: int = 64
+    # Search operating-point knobs (design.md §13); None keeps the
+    # conservative gate-appropriate defaults.
+    leann_promote_width: int | None = None
+    leann_max_search_iters: int | None = None
     pq_enabled: bool = False
     pq_subquantizers: int = 8
 
@@ -149,6 +153,8 @@ class Config:
                 m0=self.leann_m0,
                 ef_construction=max(self.leann_ef_construction, self.leann_m),
                 ef_search=self.leann_ef_search,
+                promote_width=self.leann_promote_width,
+                max_search_iters=self.leann_max_search_iters,
                 wave_size=512,
                 intra_wave_k=min(16, self.leann_m0),
                 reverse_slack=self.leann_m0,

@@ -113,6 +113,14 @@ class LeannConfig:
     # (restores the links sequential insertion would have created in-wave).
     intra_wave_k: int = 30
     seed: int = 0
+    # Default search operating-point knobs (design.md §13): per-call
+    # arguments win; None keeps the gate-appropriate conservative formulas.
+    # `promote_width` caps exact scoring (or encoder recomputes) per hop in
+    # the sketch gate; `max_search_iters` caps hop iterations — the batched
+    # loop runs to its slowest query's convergence, so the cap trades
+    # straggler tail recall for batch QPS.
+    promote_width: int | None = None
+    max_search_iters: int | None = None
 
     @staticmethod
     def paper_default() -> "LeannConfig":
@@ -158,6 +166,10 @@ class LeannConfig:
             raise ConfigError("beam_width must be > 0")
         if not 0.0 <= self.hub_percentile <= 1.0:
             raise ConfigError("hub_percentile must be in [0.0, 1.0]")
+        if self.promote_width is not None and self.promote_width <= 0:
+            raise ConfigError("promote_width must be > 0 when set")
+        if self.max_search_iters is not None and self.max_search_iters <= 0:
+            raise ConfigError("max_search_iters must be > 0 when set")
         if self.wave_size <= 0:
             raise ConfigError("wave_size must be > 0")
         if self.expand_width <= 0:

@@ -235,6 +235,12 @@ class LeannIndex:
             return (out[0][0], out[1][0]) if single else out
         ef = max(ef if ef is not None else self.config.ef_search, k)
         expand_width = expand_width or self.config.expand_width
+        # Config-level operating-point defaults (design.md §13); per-call
+        # arguments win.
+        if promote_width is None:
+            promote_width = self.config.promote_width
+        if max_iters is None:
+            max_iters = self.config.max_search_iters
 
         scorer = make_recompute_scorer(provider.embed_fn, self.config.metric)
         if gate == "auto":
@@ -316,6 +322,10 @@ class LeannIndex:
         em = expand_width * graph.max_degree
         if aq_width is None:
             aq_width = max(ef, 64)
+        if promote_width is None:
+            promote_width = self.config.promote_width
+        if max_iters is None:
+            max_iters = self.config.max_search_iters
         if promote_width is None:
             promote_width = max(1, round(rerank_ratio * aq_width))
         promote_width = min(promote_width, em)

@@ -62,6 +62,23 @@ class TestConfig:
         cfg = Config.from_file(f)
         assert cfg.debug and cfg.chunk_size == 128 and cfg.leann_m == 12
 
+    def test_operating_point_knobs_flow_to_leann_config(self, tmp_path):
+        """leann: promote_width / max_search_iters (design.md §13) reach the
+        engine config the service builds indexes with."""
+        f = tmp_path / "c.yaml"
+        f.write_text(
+            "leann:\n  promote_width: 32\n  max_search_iters: 36\n"
+        )
+        cfg = Config.from_file(f)
+        assert cfg.leann_promote_width == 32
+        assert cfg.leann_max_search_iters == 36
+        lc = cfg.indexer_config().leann
+        assert lc.promote_width == 32 and lc.max_search_iters == 36
+        # default: unset -> conservative formulas stay in charge
+        lc_default = Config().indexer_config().leann
+        assert lc_default.promote_width is None
+        assert lc_default.max_search_iters is None
+
     def test_simple_yaml_parser(self):
         raw = _parse_simple_yaml(
             "# comment\na: 1\nb: true\nc: hello\nnest:\n  x: 2.5\n  y: 'q'\n"

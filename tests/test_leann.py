@@ -231,6 +231,40 @@ class TestTwoLevelSearch:
         assert r >= 0.7, (metric, r)
 
 
+class TestConfigOperatingPoint:
+    def test_config_defaults_reach_search(self, corpus):
+        """LeannConfig.promote_width / max_search_iters act as search
+        defaults (design.md §13); per-call args still win."""
+        prov = InMemoryEmbeddingProvider(corpus)
+        cfg = LeannConfig(**SMALL_CFG, sketch_query=True, sketch_dims=16,
+                          promote_width=16, max_search_iters=2)
+        idx = LeannIndex(cfg)
+        idx.build(prov)
+        q = np.asarray(corpus[:16])
+        idx.search(q, k=10, provider=prov, ef=32)
+        rf_starved = idx.last_recompute_fraction
+        # per-call override: a generous cap does more exact work than the
+        # starved config default
+        idx.search(q, k=10, provider=prov, ef=32, max_iters=64)
+        rf_generous = idx.last_recompute_fraction
+        assert rf_generous > rf_starved
+        # and an un-set config keeps the conservative formula (more work
+        # than the starved default)
+        cfg2 = LeannConfig(**SMALL_CFG, sketch_query=True, sketch_dims=16)
+        idx2 = LeannIndex(cfg2)
+        idx2.build(prov)
+        idx2.search(q, k=10, provider=prov, ef=32)
+        assert idx2.last_recompute_fraction > rf_starved
+
+    def test_validate_rejects_nonpositive(self):
+        from islands_tpu.core.config import ConfigError
+
+        with pytest.raises(ConfigError):
+            LeannConfig(promote_width=0).validate()
+        with pytest.raises(ConfigError):
+            LeannConfig(max_search_iters=-1).validate()
+
+
 class TestSmallCorpusEdges:
     @pytest.mark.slow
     def test_pq_scan_k_larger_than_corpus(self):
