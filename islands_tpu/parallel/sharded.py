@@ -664,6 +664,10 @@ class ArchipelagoSearcher:
             gate = "sketch" if idx.has_sketch else "exact"
         if gate == "sketch" and not idx.has_sketch:
             raise ValueError("index has no sketch state (gate='sketch')")
+        if max_iters is None and idx.config is not None:
+            # Config-level operating-point default (design.md §13);
+            # per-call argument wins.
+            max_iters = idx.config.max_search_iters
         if max_iters is None:
             if gate == "sketch":
                 promote = max(8, min(2 * expand_width * 4, ef))

@@ -54,6 +54,23 @@ def test_sharded_build_and_search_recall(n_shards, n_dp):
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
 
 
+def test_sharded_config_max_iters_default():
+    """LeannConfig.max_search_iters acts as the sharded search default
+    (design.md §13); per-call max_iters wins over it."""
+    n, dim = 256, 16
+    x = make_vectors(n, dim, seed=38)
+    q = make_vectors(8, dim, seed=39)
+    mesh = make_mesh(n_shards=4, n_dp=1)
+    idx = build_sharded(x, small_config(max_search_iters=2), mesh)
+    searcher = ArchipelagoSearcher(idx)
+    _, ids = searcher.search(q, k=5, ef=32)
+    assert {key[6] for key in searcher._cache} == {2}
+    ids = np.asarray(ids)
+    assert np.all((ids >= -1) & (ids < n))
+    searcher.search(q, k=5, ef=32, max_iters=7)
+    assert {key[6] for key in searcher._cache} == {2, 7}
+
+
 def test_sharded_matches_exact_on_tiny_shards():
     """With ef >= shard size, per-shard search is exhaustive, so the merge
     must equal brute force exactly."""
