@@ -35,14 +35,16 @@ def _recall(ids, true_ids, k=10):
     ]))
 
 
-def _search_batched(idx, q, provider, ef, gate, bs):
+def _search_batched(idx, q, provider, ef, gate, bs, promote=None,
+                    max_iters=None):
     """Recompute searches trace the encoder for the whole vmapped batch, so
     the query batch bounds HBM (per-hop mode holds a [B, E, heads, L, L]
     attention tensor); run in small batches."""
     outs = []
     for s in range(0, len(q), bs):
         _, ids = idx.search(q[s : s + bs], k=10, provider=provider, ef=ef,
-                            gate=gate)
+                            gate=gate, promote_width=promote,
+                            max_iters=max_iters)
         outs.append(np.asarray(ids))
     return np.concatenate(outs)
 
@@ -174,19 +176,27 @@ def config3_recompute_100k():
     # loop, leann.rs:899-988): [B, E, heads, L, L] attention bounds the
     # batch to ~16 queries and costs ~E/promote_width more encoder FLOPs
     # than the gated loop — that asymmetry IS the result being measured.
-    for gate, label, bs, nq, ef in (
-        ("sketch", "gated", 64, qn, 96), ("none", "per_hop", 16, 32, 64)
+    # Gated operating points from the on-chip sweeps (benches/
+    # recompute_iters.py + the ad-hoc ef/promote sweep recorded in
+    # BENCH_EXTRA.json): ef=48/promote=32 with an iteration cap — the
+    # encoder-bound QPS scales as 1/max_iters, so the cap is the knob.
+    for gate, label, bs, nq, ef, promote, mi in (
+        ("sketch", "gated", 64, qn, 48, 32, 36),
+        ("sketch", "gated_fast", 64, qn, 48, 32, 30),
+        ("none", "per_hop", 16, 32, 64, None, None),
     ):
         idx.last_recompute_fraction = None
-        ids = _search_batched(idx, q[:nq], provider, ef, gate, bs)
+        ids = _search_batched(idx, q[:nq], provider, ef, gate, bs, promote, mi)
         rec = _recall(ids, true_ids[:nq])
         t0 = time.perf_counter()
-        _search_batched(idx, q[:nq], provider, ef, gate, bs)
+        _search_batched(idx, q[:nq], provider, ef, gate, bs, promote, mi)
         qps = nq / (time.perf_counter() - t0)
         out[label] = {
             "recall_at_10": round(rec, 4),
             "qps": round(qps, 1),
             "ef": ef,
+            "promote_width": promote,
+            "max_iters": mi,
             "n_queries": nq,
             # per-hop loop doesn't count recomputes (reference dead-codes the
             # metric too, leann.rs:974-981); only gated paths report it
@@ -199,9 +209,10 @@ def config3_recompute_100k():
     return out
 
 
-def config4_pq_1m_768():
-    """PQ-gated two-level search at 1M x 768-d, 16 subquantizers + exact
-    rerank (BASELINE config 4; spec Algorithm 2)."""
+def config4_setup():
+    """Build the config-4 workload: 1M x 768-d Gaussian-mixture corpus,
+    LEANN graph + 16-subquantizer PQ. Returns (idx, provider, q, true_ids,
+    build_s). Shared with benches/twolevel_iters.py."""
     import jax
     import jax.numpy as jnp
 
@@ -235,8 +246,22 @@ def config4_pq_1m_768():
 
     _, true_ids = dist_ops.brute_force_topk(q, x, 10, metric, batch=65536)
     true_ids = np.asarray(true_ids)
+    return idx, InMemoryEmbeddingProvider(x), np.asarray(q), true_ids, build_s
 
-    provider = InMemoryEmbeddingProvider(x)
+
+def config4_pq_1m_768():
+    """PQ-gated two-level search at 1M x 768-d, 16 subquantizers + exact
+    rerank (BASELINE config 4; spec Algorithm 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from islands_tpu.core.config import DistanceMetric, LeannConfig, PQConfig
+    from islands_tpu.core.embedding import InMemoryEmbeddingProvider
+    from islands_tpu.core.leann import LeannIndex
+    from islands_tpu.ops import distance as dist_ops
+
+    idx, provider, q, true_ids, build_s = config4_setup()
+    N, DIM, NQ = 1_000_000, 768, int(q.shape[0])
     chosen = None
     for ef in (96, 128, 192, 256):
         _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider,

@@ -66,9 +66,11 @@ def main(n_m: float = 2.0):
     # Exact gate default cap at ef=64/x4 is 80 iterations; the batched loop
     # is straggler-bound (design.md §13), so capped rungs trade tail recall
     # for QPS exactly as at 1M.
+    # Round-3 measured (2M, S=1): exact@64 recall flat .988 from the default
+    # cap (80) down to i32 (5427 -> 8356 QPS); finer caps probe the knee.
     for gate, ef, mi in (
-        ("sketch", 32, None), ("exact", 64, None), ("exact", 64, 48),
-        ("exact", 64, 40), ("exact", 64, 32),
+        ("exact", 64, 32), ("exact", 64, 28), ("exact", 64, 24),
+        ("exact", 64, 20),
     ):
         ids_all = []
         for s in range(0, nq, 1024):
