@@ -34,10 +34,12 @@ def main():
     sketch_dims = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     efc = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     pool_mult = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    refine = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     metric = DistanceMetric.EUCLIDEAN
     cfg = LeannConfig(
         metric=metric, wave_size=4096, sketch_dims=sketch_dims,
         ef_construction=efc, sketch_pool_mult=pool_mult,
+        refine_passes=refine,
     )
 
     x, queries = make_bench_corpus(n, dim, nq)
@@ -66,7 +68,7 @@ def main():
 
     out = {
         "n": n, "sketch_dims": sketch_dims, "efc": efc,
-        "pool_mult": pool_mult,
+        "pool_mult": pool_mult, "refine": refine,
         "build_steady_s": round(build_s, 2),
         "build_vps": round(n / build_s, 0),
         "build_first_s": round(first_s, 2),

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def run(tag, dims, efc, mult, wave=4096):
+def run(tag, dims, efc, mult, wave=4096, refine=0):
     from islands_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -32,7 +32,8 @@ def run(tag, dims, efc, mult, wave=4096):
     n, dim, nq = 1_000_000, 128, 4096
     metric = DistanceMetric.EUCLIDEAN
     cfg = LeannConfig(metric=metric, wave_size=wave, sketch_dims=dims,
-                      ef_construction=efc, sketch_pool_mult=mult)
+                      ef_construction=efc, sketch_pool_mult=mult,
+                      refine_passes=refine)
     x, queries = make_bench_corpus(n, dim, nq)
 
     # Ground truth first (before build state occupies HBM) and cached on
@@ -61,7 +62,7 @@ def run(tag, dims, efc, mult, wave=4096):
         ]))
 
     out = {"tag": tag, "dims": dims, "efc": efc, "mult": mult,
-           "wave": wave, "build_s": round(build_s, 1)}
+           "wave": wave, "refine": refine, "build_s": round(build_s, 1)}
 
     def measure(ef, batch, promote=None, label=None, max_iters=None,
                 expand=4):
@@ -118,6 +119,15 @@ def run(tag, dims, efc, mult, wave=4096):
         measure(24, 4096, max_iters=20)
         measure(32, 4096)                      # uncapped fidelity ceiling
         measure(32, 4096, max_iters=28, promote=48)  # margin point
+    elif tag == "G":
+        # refine_passes=1 graph: does the Vamana-style second pass buy
+        # recall at the capped operating points (unrefined: i24 .9183,
+        # i20 .8986)?
+        measure(32, 4096, max_iters=24)
+        measure(32, 4096, max_iters=20)
+        measure(24, 4096, max_iters=20)
+        measure(32, 4096)                      # uncapped ceiling
+        measure(32, 4096, max_iters=28, promote=48)  # margin point
     else:
         measure(32, 2048)
         measure(24, 2048)
@@ -127,8 +137,9 @@ def run(tag, dims, efc, mult, wave=4096):
 
 if __name__ == "__main__":
     tag = sys.argv[1] if len(sys.argv) > 1 else "A"
-    cfgs = {"A": (32, 64, 2, 4096), "B": (48, 64, 2, 4096),
-            "C": (32, 64, 3, 4096), "D": (48, 64, 3, 4096),
-            "E": (32, 64, 2, 4096), "F": (48, 64, 2, 2048)}
-    dims, efc, mult, wave = cfgs[tag]
-    run(tag, dims, efc, mult, wave)
+    cfgs = {"A": (32, 64, 2, 4096, 0), "B": (48, 64, 2, 4096, 0),
+            "C": (32, 64, 3, 4096, 0), "D": (48, 64, 3, 4096, 0),
+            "E": (32, 64, 2, 4096, 0), "F": (48, 64, 2, 2048, 0),
+            "G": (32, 64, 2, 4096, 1)}
+    dims, efc, mult, wave, refine = cfgs[tag]
+    run(tag, dims, efc, mult, wave, refine)

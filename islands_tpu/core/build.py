@@ -364,8 +364,17 @@ def wave_body(
     wave: int,
     buffer_width: int,
     max_iters: int,
+    refine: bool = False,
 ):
     """One construction wave: insert nodes [s, s+wave) into the graph.
+
+    With `refine=True` the wave REFINES already-inserted nodes instead of
+    inserting new ones (Vamana-style second pass): the node's search pool is
+    self-masked, its CURRENT row joins the candidate set (so good existing
+    edges survive re-selection), candidates are deduped by id, and the
+    intra-wave brute-force stage is skipped (the full-graph search subsumes
+    it). Reverse scatter + repair run unchanged; duplicate reverse edges a
+    refine wave re-creates are removed by the repair/final-sweep dedup.
 
     Pure function of its array arguments so it can run under jit (single
     chip) or shard_map (per-shard archipelago build). `x_prepped` must be
@@ -461,8 +470,40 @@ def wave_body(
         )
         g_dists, g_ids = jax.vmap(lambda qi: search(qi, x_prepped))(q)
 
-    # 2. intra-wave brute-force candidates
-    if intra_k > 0:
+    if refine:
+        # Self-mask the pool (the node is its own nearest neighbor on the
+        # full graph) and merge the node's current row into the candidates,
+        # then dedup by id — pool and row overlap heavily, and
+        # _select_neighbors has no dedup of its own.
+        self_hit = g_ids == wave_ids[:, None]
+        g_ids = jnp.where(self_hit, SENTINEL, g_ids)
+        g_dists = jnp.where(self_hit, _INF, g_dists)
+        # Row gather, not dynamic_slice: neighbors has only n rows, so a
+        # tail wave's slice would clamp and misalign rows with wave_ids.
+        cur_rows = neighbors[jnp.clip(wave_ids, 0, n - 1)]
+        cur_ok = (cur_rows != SENTINEL) & wave_ok[:, None]
+        cur_emb = x_prepped[jnp.clip(cur_rows, 0, x_prepped.shape[0] - 1)]
+        cur_d = dist_ops.rows_distance(q, cur_emb, metric)
+        cur_d = jnp.where(cur_ok, cur_d, _INF)
+        cand_ids = jnp.concatenate(
+            [g_ids, jnp.where(cur_ok, cur_rows, SENTINEL)], axis=1
+        )
+        cand_dists = jnp.concatenate([g_dists, cur_d], axis=1)
+        key = jnp.where(cand_ids == SENTINEL, jnp.int32(n), cand_ids)
+        key_s, d_s, ids_s = jax.lax.sort(
+            (key, cand_dists, cand_ids), num_keys=1
+        )
+        prev = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+        drop = (key_s == prev) | (key_s >= n)
+        cand_ids = jnp.where(drop, SENTINEL, ids_s)
+        cand_dists = jnp.where(drop, _INF, d_s)
+        intra_k = 0
+
+    # 2. intra-wave brute-force candidates (insertion waves only; refine
+    # waves merged their candidate set above)
+    if refine:
+        pass
+    elif intra_k > 0:
         dq = dist_ops.pairwise_distance(q, q, metric)
         eye = jnp.eye(wave, dtype=bool)
         own_invalid = ~wave_ok[None, :] | eye
@@ -532,7 +573,9 @@ def wave_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "n", "wave", "buffer_width", "max_iters"),
+    static_argnames=(
+        "config", "n", "wave", "buffer_width", "max_iters", "refine"
+    ),
     donate_argnums=(0, 1, 2),
 )
 def wave_step(
@@ -550,6 +593,7 @@ def wave_step(
     wave: int,
     buffer_width: int,
     max_iters: int,
+    refine: bool = False,
 ):
     """Jitted per-wave insertion step. The corpus is an ARGUMENT (never a
     closure) so one compilation per (n, wave, d) shape serves every build in
@@ -566,7 +610,7 @@ def wave_step(
     return wave_body(
         neighbors, degrees, nbr_sketch, s, entry, x_prepped, count, sketch_ctx,
         config=config, n=n, wave=wave, buffer_width=buffer_width,
-        max_iters=max_iters,
+        max_iters=max_iters, refine=refine,
     )
 
 
@@ -700,6 +744,37 @@ def build_index_with_sketch(
             )
             s += wave
 
+    # --- refinement passes (config.refine_passes): every node re-searches
+    # the COMPLETE graph and re-selects its row (wave_body refine=True).
+    # Early insertion waves only saw the inserted prefix; the second pass
+    # lets them candidate against the whole corpus (Vamana-style). ---
+    max_level_i = int(levels.max())
+    entry_i = int(np.argmax(levels == max_level_i))
+    if config.refine_passes > 0 and n > 1:
+        max_iters = 4 * max(config.ef_construction // config.expand_width, 1) + 16
+        count = jnp.int32(n)
+        rng_r = np.random.default_rng(config.seed ^ 0x0F1E)
+        for _ in range(config.refine_passes):
+            s = 0
+            while s < n:
+                wave = max_wave
+                if use_sketch:
+                    routing = jnp.asarray(
+                        rng_r.integers(0, n, size=config.routing_size),
+                        dtype=jnp.int32,
+                    )
+                    sketch_ctx = (node_sketch, node_proj_q, routing, w, scale)
+                else:
+                    sketch_ctx = None
+                neighbors, degrees, nbr_sketch = wave_step(
+                    neighbors, degrees, nbr_sketch, jnp.int32(s),
+                    jnp.int32(entry_i), x_padded, count, sketch_ctx,
+                    config=config, n=n_pad, wave=wave,
+                    buffer_width=buffer_width, max_iters=max_iters,
+                    refine=True,
+                )
+                s += wave
+
     # --- final sweep: repair any node still over m0, crop slack + padding ---
     neighbors, degrees, nbr_sketch = _final_sweep(
         neighbors, degrees, nbr_sketch, x_padded[:n_pad], m0, config.metric,
@@ -810,6 +885,13 @@ def warm_build_executables(
             config=config, n=n_pad, wave=wave, buffer_width=bw,
             max_iters=max_iters,
         )
+        if config.refine_passes > 0:
+            neighbors, degrees, nbr_sketch = wave_step(
+                neighbors, degrees, nbr_sketch, jnp.int32(0), jnp.int32(0),
+                x_padded, jnp.int32(n), sketch_ctx,
+                config=config, n=n_pad, wave=max_wave, buffer_width=bw,
+                max_iters=max_iters, refine=True,
+            )
     neighbors, degrees, nbr_sketch = _final_sweep(
         neighbors, degrees, nbr_sketch, x_padded[:n_pad], m0, config.metric,
         config.diversify, w, scale,

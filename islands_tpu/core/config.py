@@ -96,6 +96,13 @@ class LeannConfig:
     # Candidate entry points sampled from the inserted prefix per wave; each
     # query starts at its nearest routing node (cuts hops on clustered data).
     routing_size: int = 1024
+    # Post-build refinement passes (Vamana-style second pass): re-run the
+    # candidate search for every node over the COMPLETE graph, exact-rescore,
+    # and re-select its row (current neighbors stay in the candidate set).
+    # Early waves of the main build selected from a small inserted prefix;
+    # a refinement pass lets them see the whole corpus. Each pass costs
+    # roughly one build search phase.
+    refine_passes: int = 0
     # Default QUERY gate: when True, LeannIndex.search(gate="auto") uses the
     # sketch-gated hop (recomputing only the final ef embeddings per query).
     # Off by default: sketch ranking fidelity depends on the corpus living on
@@ -170,6 +177,8 @@ class LeannConfig:
             raise ConfigError("promote_width must be > 0 when set")
         if self.max_search_iters is not None and self.max_search_iters <= 0:
             raise ConfigError("max_search_iters must be > 0 when set")
+        if self.refine_passes < 0:
+            raise ConfigError("refine_passes must be >= 0")
         if self.wave_size <= 0:
             raise ConfigError("wave_size must be > 0")
         if self.expand_width <= 0:

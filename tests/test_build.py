@@ -62,6 +62,36 @@ def test_build_invariants_and_recall(metric):
 
 
 @pytest.mark.slow
+def test_refine_pass_improves_recall():
+    """refine_passes (Vamana-style second pass over the complete graph)
+    must preserve every invariant and not lose recall — early insertion
+    waves candidate only against the inserted prefix, so the re-selection
+    should help (measured: +1.6 recall pts at 4k, +3.5 exact-gate pts at
+    131k on-chip)."""
+    n, dim = 900, 32
+    metric = DistanceMetric.EUCLIDEAN
+    x = make_vectors(n, dim, seed=24)
+    q = make_vectors(32, dim, seed=25)
+    _, tids = D.brute_force_topk(q, x, 10, metric)
+    tids = np.asarray(tids)
+
+    def recall_of(graph):
+        _, ids = StoredSearcher(graph, x, metric).search(q, k=10, ef=32)
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[i].tolist()) & set(tids[i].tolist())) / 10
+            for i in range(len(q))
+        ])
+
+    base = build_index(x, small_config(metric=metric))
+    refined = build_index(x, small_config(metric=metric, refine_passes=1))
+    graph_invariants(refined, n, 16)
+    r0, r1 = recall_of(base), recall_of(refined)
+    assert r1 >= r0 - 0.02, (r0, r1)
+    assert r1 >= 0.85, r1
+
+
+@pytest.mark.slow
 def test_build_connectivity():
     """Every node reachable from the entry point (spec
     test_pruning_preserves_connectivity, docs/leann-specification.md:852-864)."""
