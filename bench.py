@@ -196,7 +196,13 @@ def main():
     true_ids = np.asarray(true_ids)
     _RESULT["stage"] = "ground_truth"
 
-    searcher = StoredSearcher(graph, x, metric, sketch=sketch)
+    # Dense routing entries (6.5% of corpus): the query approach starts at
+    # the nearest of 65536 sampled nodes by sketch distance (one [B, R]
+    # matmul — QPS-neutral), which cuts hops-to-converge and buys the
+    # low-iteration-cap rungs their recall (tune_1m tags H/I/J: recall at
+    # i16 rises .8734 -> .9099 from r4096 -> r65536; saturated by r131072).
+    searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                              routing_size=65536)
 
     def run(ef, gate, promote=None, max_iters=None):
         ids_all = []
@@ -246,20 +252,21 @@ def main():
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder (tuned on-chip, benches/tune_1m.py runs A and E at 1Mx128).
+    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H/I/J at 1Mx128).
     # The batched while_loop runs until the SLOWEST query in the batch
     # converges, so the default cap (40 at ef=32/p=32) mostly burns hops on
-    # one straggler; capping max_iters trades its tail recall for batch QPS:
-    # 1. sketch@ef=32, max_iters=24: max-QPS point (.9183 @ ~29.3k QPS).
+    # one straggler; capping max_iters trades its tail recall for batch QPS,
+    # and the dense routing above buys the low caps their recall:
+    # 1. sketch@ef=32, max_iters=16: max-QPS point (.9099 @ ~37.9k QPS).
     # 2. sketch@ef=32, p=48, max_iters=28: recall-margin point
-    #    (.9415 @ ~22.9k) — measured if budget allows even after rung 1
+    #    (>= .9415 @ ~23k) — measured if budget allows even after rung 1
     #    records, so the JSON carries both operating points in "rungs".
     # Fallback rungs only run if no tuned point clears TARGET_RECALL.
-    primary = [("sketch", 32, None, 24), ("sketch", 32, 48, 28)]
+    primary = [("sketch", 32, None, 16), ("sketch", 32, 48, 28)]
     fallback = [
-        ("sketch", 32, None, 28), ("sketch", 32, None, None),
-        ("sketch", 48, None, None), ("exact", 64, None, None),
-        ("exact", 96, None, None), ("exact", 128, None, None),
+        ("sketch", 32, None, 20), ("sketch", 32, None, 24),
+        ("sketch", 32, None, None), ("sketch", 48, None, None),
+        ("exact", 64, None, None), ("exact", 128, None, None),
     ]
     for gate, ef, promote, max_iters in primary:
         if budget_left() < 60:

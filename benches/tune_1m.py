@@ -119,6 +119,32 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
         measure(24, 4096, max_iters=20)
         measure(32, 4096)                      # uncapped fidelity ceiling
         measure(32, 4096, max_iters=28, promote=48)  # margin point
+    elif tag == "H":
+        # Routing density: more entry candidates shorten the approach, so
+        # capped-iteration rungs should gain recall on the SAME graph
+        # (unrefined baseline: i24 .9183 @ 29.3k, i20 .8986 @ 33.3k).
+        for rsize in (4096, 16384):
+            searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                      routing_size=rsize)
+            measure(32, 4096, max_iters=24, label=f"r{rsize}_i24")
+            measure(32, 4096, max_iters=20, label=f"r{rsize}_i20")
+            measure(32, 4096, max_iters=16, label=f"r{rsize}_i16")
+    elif tag == "J":
+        # Routing density, round 3 (I: r65536/i16 .9099 @ 37.9k over the
+        # gate; i14 .8909 @ 41.5k under). Does 13%-of-corpus routing push
+        # i14 over? [4096, 131072] f32 routing transient = 2 GB.
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=131072)
+        for mi in (16, 14, 12):
+            measure(32, 4096, max_iters=mi, label=f"r131072_i{mi}")
+    elif tag == "I":
+        # Routing density, round 2 (H: r16384/i20 .9216 @ 33.3k;
+        # r16384/i16 .8967 @ 38.4k just under the gate).
+        for rsize, iters in ((32768, (20, 16, 14)), (65536, (16, 14))):
+            searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                      routing_size=rsize)
+            for mi in iters:
+                measure(32, 4096, max_iters=mi, label=f"r{rsize}_i{mi}")
     elif tag == "G":
         # refine_passes=1 graph: does the Vamana-style second pass buy
         # recall at the capped operating points (unrefined: i24 .9183,
@@ -140,6 +166,7 @@ if __name__ == "__main__":
     cfgs = {"A": (32, 64, 2, 4096, 0), "B": (48, 64, 2, 4096, 0),
             "C": (32, 64, 3, 4096, 0), "D": (48, 64, 3, 4096, 0),
             "E": (32, 64, 2, 4096, 0), "F": (48, 64, 2, 2048, 0),
-            "G": (32, 64, 2, 4096, 1)}
+            "G": (32, 64, 2, 4096, 1), "H": (32, 64, 2, 4096, 0),
+            "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0)}
     dims, efc, mult, wave, refine = cfgs[tag]
     run(tag, dims, efc, mult, wave, refine)
