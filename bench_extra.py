@@ -110,11 +110,13 @@ def config1_self_index():
     }
 
 
-def config3_setup(qn=256):
+def config3_setup(qn=256, routing_size=16384):
     """Build the config-3 workload: 131k synthetic token-table chunks,
     minilm-class on-TPU encoder, recompute-mode LeannIndex. Returns
     (idx, provider, q, true_ids, build_s). Shared with
-    benches/recompute_iters.py so sweeps run on the identical corpus."""
+    benches/recompute_iters.py so sweeps run on the identical corpus.
+    Dense routing (12.5% of corpus) shortens the approach phase so the
+    iteration-capped rungs keep recall (CLAUDE.md fact 26)."""
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +144,7 @@ def config3_setup(qn=256):
 
     cfg = LeannConfig(
         metric=DistanceMetric.COSINE, wave_size=4096, sketch_query=True,
-        sketch_dims=32,
+        sketch_dims=32, routing_size=routing_size,
     )
     idx = LeannIndex(cfg)
     t0 = time.perf_counter()

@@ -52,15 +52,15 @@ def main():
         print(f"{label}: recall {rec:.4f}, {qps:.1f} QPS, rf {rf:.5f}",
               file=sys.stderr, flush=True)
 
-    # Round 1 of this sweep (committed in the git log): default cap 40 =
-    # .9242 @ 18.6; i28 .8965 @ 26.3; i24 .8746 @ 30.4 — QPS tracks 1/iters
-    # exactly (encoder roofline) but recall falls faster than the 1M
-    # stored-embedding case (fact 23). Refinement: find the >= .9 crossing.
-    measure(48, 32, 36)
+    # Rounds 1-2 (git log, routing=1024): default cap 40 = .9242 @ 18.6;
+    # i36 .9191 @ 20.6; i32 .9086 @ 23.3; i28 .8965 @ 26.3 — QPS tracks
+    # 1/iters exactly (encoder roofline). Round 3: dense routing (16384,
+    # fact 26) shortens the approach; re-find the >= .9 crossing.
+    measure(48, 32, None)
     measure(48, 32, 32)
-    measure(64, 32, 32)            # higher base recall (.9242 @ 15.2 @ i48)
-    measure(64, 32, 28)
-    measure(64, 48, 28)            # wider promote at a hard cap
+    measure(48, 32, 28)
+    measure(48, 32, 24)
+    measure(48, 32, 20)
     print(json.dumps(out))
 
 

@@ -608,6 +608,45 @@ class ArchipelagoSearcher:
                 P(),
                 P(),
             )
+        elif idx.has_sketch:
+            # Exact gate with per-query routed entries (the single-chip
+            # StoredSearcher does the same): the sketch is used ONLY to pick
+            # each query's nearest routing node — even sketches too noisy
+            # for hop triage (e.g. dims=16 at 2M density) route entries
+            # well, and a shorter approach phase is what lets capped
+            # iteration counts keep recall (design.md §13, fact 26).
+            def local_fn(q, nbrs, entry, ctx, gids, count,
+                         node_sk, routing, w, scale):
+                nbrs, gids, count = nbrs[0], gids[0], count[0]
+                node_sk, routing = node_sk[0], routing[0]
+                ctx = slice_ctx(ctx)
+                qs = proj_ops.sketch_query(q, w, scale)
+                ents = route_entries(qs, routing, node_sk, metric)
+                search = functools.partial(
+                    _search_one,
+                    neighbors=nbrs,
+                    scorer=scorer,
+                    ef=ef,
+                    expand_width=expand_width,
+                    max_iters=max_iters,
+                )
+                d_loc, i_loc = jax.vmap(
+                    lambda qi, e1: search(qi, ctx, entry_point=e1)
+                )(q, ents)
+                return _merge_topk(d_loc, i_loc, gids, count, k, merge_axes)
+
+            in_specs = (
+                P("dp", None),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh)),
+                ctx_specs,
+                P(_shard_axes(mesh), None),
+                P(_shard_axes(mesh)),
+                P(_shard_axes(mesh), None, None),
+                P(_shard_axes(mesh), None),
+                P(),
+                P(),
+            )
         else:
 
             def local_fn(q, nbrs, entry, ctx, gids, count):
@@ -678,8 +717,11 @@ class ArchipelagoSearcher:
         # (_make closes over it) — it must be part of the cache key or a
         # second index with a different dim would silently reuse the wrong
         # calibration.
+        # has_sketch is part of the key: the exact gate compiles a routed
+        # variant (extra sketch operands) when sketch state exists, and the
+        # cache is shared across searcher instances.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
-               max_iters, gate, int(idx.x_prepped.shape[-1]))
+               max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch)
         if key not in self._cache:
             self._cache[key] = self._make(k, ef, expand_width, max_iters, gate)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
@@ -687,6 +729,12 @@ class ArchipelagoSearcher:
             return self._cache[key](
                 qp, idx.neighbors, idx.entries, self.exact_ctx, idx.gids,
                 idx.counts, idx.node_sketch, idx.nbr_sketch, idx.routing,
+                idx.sketch_w, idx.sketch_scale,
+            )
+        if idx.has_sketch:  # exact gate with sketch-routed entries
+            return self._cache[key](
+                qp, idx.neighbors, idx.entries, self.exact_ctx, idx.gids,
+                idx.counts, idx.node_sketch, idx.routing,
                 idx.sketch_w, idx.sketch_scale,
             )
         return self._cache[key](
