@@ -36,8 +36,10 @@ def main(n_m: float = 2.0):
 
     n, dim, nq = int(n_m * 1_000_000), 128, 2048
     metric = DistanceMetric.EUCLIDEAN
+    # Dense routing (fact 26): the exact gate routes entries through the
+    # sketch, so low iteration caps keep recall.
     cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=16,
-                      ef_construction=64)
+                      ef_construction=64, routing_size=65536)
     x, queries = make_bench_corpus(n, dim, nq)
     x = np.asarray(x)
     queries = np.asarray(queries)
@@ -66,11 +68,13 @@ def main(n_m: float = 2.0):
     # Exact gate default cap at ef=64/x4 is 80 iterations; the batched loop
     # is straggler-bound (design.md §13), so capped rungs trade tail recall
     # for QPS exactly as at 1M.
-    # Round-3 measured (2M, S=1): exact@64 recall flat .988 from the default
-    # cap (80) down to i32 (5427 -> 8356 QPS); finer caps probe the knee.
+    # Round-3 measured (2M, S=1, single-entry): exact@64 recall flat .988
+    # from the default cap (80) down to i32; i24 .9846 @ 12.0k, i20 .9726 @
+    # 14.4k. These rungs re-measure with sketch-routed entries + dense
+    # routing (65536).
     for gate, ef, mi in (
-        ("exact", 64, 32), ("exact", 64, 28), ("exact", 64, 24),
-        ("exact", 64, 20),
+        ("exact", 64, 24), ("exact", 64, 20), ("exact", 64, 16),
+        ("exact", 64, 12),
     ):
         ids_all = []
         for s in range(0, nq, 1024):
