@@ -264,7 +264,7 @@ def main():
     # Fallback rungs only run if no tuned point clears TARGET_RECALL.
     primary = [("sketch", 32, None, 16), ("sketch", 32, 48, 28)]
     fallback = [
-        ("sketch", 32, None, 20), ("sketch", 32, None, 24),
+        ("sketch", 32, None, 18), ("sketch", 32, None, 24),
         ("sketch", 32, None, None), ("sketch", 48, None, None),
         ("exact", 64, None, None), ("exact", 128, None, None),
     ]

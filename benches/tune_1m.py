@@ -137,6 +137,13 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
                                   routing_size=131072)
         for mi in (16, 14, 12):
             measure(32, 4096, max_iters=mi, label=f"r131072_i{mi}")
+    elif tag == "K":
+        # Narrow pool at dense routing: ef=24 trims the per-hop pool-merge
+        # sort width. Baselines: ef32/r65536/i16 .9099 @ 38.5k.
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        for ef, mi in ((24, 20), (24, 18), (24, 16), (32, 18)):
+            measure(ef, 4096, max_iters=mi, label=f"ef{ef}_r65536_i{mi}")
     elif tag == "I":
         # Routing density, round 2 (H: r16384/i20 .9216 @ 33.3k;
         # r16384/i16 .8967 @ 38.4k just under the gate).
@@ -167,6 +174,7 @@ if __name__ == "__main__":
             "C": (32, 64, 3, 4096, 0), "D": (48, 64, 3, 4096, 0),
             "E": (32, 64, 2, 4096, 0), "F": (48, 64, 2, 2048, 0),
             "G": (32, 64, 2, 4096, 1), "H": (32, 64, 2, 4096, 0),
-            "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0)}
+            "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0),
+            "K": (32, 64, 2, 4096, 0)}
     dims, efc, mult, wave, refine = cfgs[tag]
     run(tag, dims, efc, mult, wave, refine)
