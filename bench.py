@@ -252,20 +252,22 @@ def main():
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H/I/J at 1Mx128).
-    # The batched while_loop runs until the SLOWEST query in the batch
-    # converges, so the default cap (40 at ef=32/p=32) mostly burns hops on
-    # one straggler; capping max_iters trades its tail recall for batch QPS,
-    # and the dense routing above buys the low caps their recall:
-    # 1. sketch@ef=32, max_iters=16: max-QPS point (.9099 @ ~37.9k QPS).
-    # 2. sketch@ef=32, p=48, max_iters=28: recall-margin point
-    #    (>= .9415 @ ~23k) — measured if budget allows even after rung 1
+    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H-N at 1Mx128).
+    # Three effects compose: (a) the batched while_loop runs until the
+    # SLOWEST query in the batch converges, so capping max_iters trades
+    # straggler tail recall for batch QPS; (b) dense routing (above)
+    # shortens the approach so low caps keep recall; (c) promote_width is
+    # nearly QPS-free (block gathers amortize, CLAUDE.md fact 7) while
+    # iterations are the expensive unit, so wide-promote/low-cap dominates:
+    # 1. sketch@ef=32, p=64, max_iters=10: max-QPS (.9381 @ ~41.0k QPS).
+    # 2. sketch@ef=32, p=96, max_iters=12: recall-margin point
+    #    (.9793 @ ~31.4k) — measured if budget allows even after rung 1
     #    records, so the JSON carries both operating points in "rungs".
     # Fallback rungs only run if no tuned point clears TARGET_RECALL.
-    primary = [("sketch", 32, None, 16), ("sketch", 32, 48, 28)]
+    primary = [("sketch", 32, 64, 10), ("sketch", 32, 96, 12)]
     fallback = [
-        ("sketch", 32, None, 18), ("sketch", 32, None, 24),
-        ("sketch", 32, None, None), ("sketch", 48, None, None),
+        ("sketch", 32, 64, 12), ("sketch", 32, 48, 14),
+        ("sketch", 32, None, 18), ("sketch", 32, None, None),
         ("exact", 64, None, None), ("exact", 128, None, None),
     ]
     for gate, ef, promote, max_iters in primary:

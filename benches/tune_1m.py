@@ -137,6 +137,31 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
                                   routing_size=131072)
         for mi in (16, 14, 12):
             measure(32, 4096, max_iters=mi, label=f"r131072_i{mi}")
+    elif tag == "L":
+        # Wider promote at the lowest caps (i14 is .8919 at p32/r65536):
+        # more exact work per hop may buy the missing recall cheaper than
+        # two more hops would.
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        for p, mi in ((40, 14), (48, 14), (40, 16), (48, 16)):
+            measure(32, 4096, promote=p, max_iters=mi,
+                    label=f"p{p}_r65536_i{mi}")
+    elif tag == "M":
+        # Promote is ~QPS-free (block gathers amortize, fact 7); iterations
+        # are the expensive unit (L: p48/i14 .9388 @ 37.9k). How low can the
+        # cap go with a wide promote?
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        for p, mi in ((64, 12), (96, 12), (64, 10), (96, 10), (64, 14)):
+            measure(32, 4096, promote=p, max_iters=mi,
+                    label=f"p{p}_r65536_i{mi}")
+    elif tag == "N":
+        # Floor-hunting (M: p64/i10 .9381 @ 41k; p96/i10 .9684 @ 35.7k).
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        for p, mi in ((64, 8), (96, 8), (128, 8), (128, 10), (96, 6)):
+            measure(32, 4096, promote=p, max_iters=mi,
+                    label=f"p{p}_r65536_i{mi}")
     elif tag == "K":
         # Narrow pool at dense routing: ef=24 trims the per-hop pool-merge
         # sort width. Baselines: ef32/r65536/i16 .9099 @ 38.5k.
@@ -175,6 +200,7 @@ if __name__ == "__main__":
             "E": (32, 64, 2, 4096, 0), "F": (48, 64, 2, 2048, 0),
             "G": (32, 64, 2, 4096, 1), "H": (32, 64, 2, 4096, 0),
             "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0),
-            "K": (32, 64, 2, 4096, 0)}
+            "K": (32, 64, 2, 4096, 0), "L": (32, 64, 2, 4096, 0),
+            "M": (32, 64, 2, 4096, 0), "N": (32, 64, 2, 4096, 0)}
     dims, efc, mult, wave, refine = cfgs[tag]
     run(tag, dims, efc, mult, wave, refine)
