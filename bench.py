@@ -80,6 +80,11 @@ def _watchdog() -> None:
             break
         time.sleep(min(left, 5.0))
     log(f"budget {BUDGET_S}s nearly exhausted -> emitting best-so-far")
+    if _RESULT.get("stage") in ("init", "corpus"):
+        # No device work completed: the TPU/tunnel never answered (a wedged
+        # chip claim hangs PJRT client init indefinitely) — distinguish that
+        # from a slow build so the record isn't read as an algorithm result.
+        _RESULT["error"] = "tpu_unreachable: no device op completed in budget"
     emit_and_exit(0)
 
 
