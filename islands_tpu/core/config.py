@@ -288,12 +288,20 @@ class SearchConfig:
     # Two-level search (spec Algorithm 2): fraction of the approximate queue
     # promoted to exact scoring per hop.
     rerank_ratio: float = 0.1
+    # Operating-point knobs (design.md §13), passed through to indexes that
+    # support them (sketch/two-level gates); None keeps index defaults.
+    promote_width: int | None = None
+    max_iters: int | None = None
 
     def validate(self) -> None:
         if self.top_k <= 0:
             raise ConfigError("top_k must be > 0")
         if self.ef < self.top_k:
             raise ConfigError("ef must be >= top_k")
+        if self.promote_width is not None and self.promote_width <= 0:
+            raise ConfigError("promote_width must be > 0 when set")
+        if self.max_iters is not None and self.max_iters <= 0:
+            raise ConfigError("max_iters must be > 0 when set")
 
 
 def distance_to_similarity(distance: float) -> float:

@@ -64,6 +64,21 @@ class Searcher:
         self.config = dataclasses.replace(self.config, include_vectors=include)
         return self
 
+    def with_promote_width(self, promote_width: int | None) -> "Searcher":
+        """Exact-scoring budget per hop (sketch/two-level gates;
+        design.md §13). Requires an index whose search accepts it."""
+        self.config = dataclasses.replace(self.config, promote_width=promote_width)
+        self.config.validate()
+        return self
+
+    def with_max_iters(self, max_iters: int | None) -> "Searcher":
+        """Hop-iteration cap: the batched loop runs to its slowest query's
+        convergence, so the cap trades straggler tail recall for batch QPS
+        (design.md §13). Requires an index whose search accepts it."""
+        self.config = dataclasses.replace(self.config, max_iters=max_iters)
+        self.config.validate()
+        return self
+
     def search(self, queries) -> list[list[SearchResult]]:
         """queries [B, d] or [d] -> per-query result lists (similarity-
         filtered, ascending distance)."""
@@ -71,8 +86,15 @@ class Searcher:
         single = q.ndim == 1
         if single:
             q = q[None, :]
+        # Only forward the operating-point knobs when set: indexes without
+        # a gated search (plain HNSW) don't take them.
+        kw = {}
+        if self.config.promote_width is not None:
+            kw["promote_width"] = self.config.promote_width
+        if self.config.max_iters is not None:
+            kw["max_iters"] = self.config.max_iters
         dists, ids = self.index.search(
-            q, k=self.config.top_k, ef=self.config.ef
+            q, k=self.config.top_k, ef=self.config.ef, **kw
         )
         dists, ids = np.asarray(dists), np.asarray(ids)
         out: list[list[SearchResult]] = []

@@ -160,6 +160,30 @@ class TestSearchApi:
             sims = [h.similarity for h in hits]
             assert sims == sorted(sims, reverse=True)
 
+    def test_searcher_operating_point_knobs(self):
+        """with_promote_width / with_max_iters forward to gated indexes
+        (design.md §13); unset they are not passed at all, so plain HNSW
+        keeps working (covered by every other Searcher test here)."""
+        from islands_tpu.core.build import build_index_with_sketch
+        from islands_tpu.core.config import ConfigError, LeannConfig
+        from islands_tpu.core.search import StoredSearcher
+        from islands_tpu.core.config import DistanceMetric
+
+        metric = DistanceMetric.EUCLIDEAN
+        x = make_vectors(400, 32, seed=71)
+        cfg = LeannConfig(metric=metric, m=8, m0=16, reverse_slack=16,
+                          wave_size=128, ef_construction=32, sketch_dims=16)
+        graph, sk = build_index_with_sketch(x, cfg)
+        idx = StoredSearcher(graph, x, metric, sketch=sk)
+        q = make_vectors(4, 32, seed=72)
+        out = (Searcher(idx).with_top_k(5).with_ef(32)
+               .with_promote_width(16).with_max_iters(8).search(q))
+        assert len(out) == 4 and all(len(h) <= 5 for h in out)
+        with pytest.raises(ConfigError):
+            Searcher(idx).with_max_iters(0)
+        with pytest.raises(ConfigError):
+            Searcher(idx).with_promote_width(-1)
+
     def test_min_similarity_filter(self, built):
         q = make_vectors(4, DIM, seed=41)
         all_hits = Searcher(built).with_top_k(10).search(q)
