@@ -83,7 +83,7 @@ def main():
         t0 = time.perf_counter()
         out = subprocess.run(
             [str(exe), "build", str(tmp / "vec.f32"), str(n), str(DIM),
-             str(tmp / f"graph_{n}.bin"), str(M0), str(EFC), "0"],
+             str(tmp / f"graph_{n}_v2.bin"), str(M0), str(EFC), "0"],
             check=True, capture_output=True, text=True, timeout=3600,
         ).stdout
         m = re.search(r"build_done n=(\d+) secs=([\d.]+) vps=([\d.]+)", out)
@@ -132,7 +132,7 @@ def main():
     chosen = None
     for ef in (32, 48, 64, 96, 128, 192, 256):
         out = subprocess.run(
-            [str(exe), "search", str(tmp / f"graph_{n}.bin"), str(tmp / "vec.f32"),
+            [str(exe), "search", str(tmp / f"graph_{n}_v2.bin"), str(tmp / "vec.f32"),
              str(n), str(DIM), str(tmp / "q.f32"), str(NQ), str(ef), "10",
              str(tmp / "ids.bin")],
             check=True, capture_output=True, text=True, timeout=600,

@@ -58,7 +58,11 @@ def main():
     vec_path.write_bytes(x.tobytes())
     (tmp / "q.f32").write_bytes(queries.tobytes())
 
-    graph_path = tmp / f"graph_{N_VAL}.bin"
+    # v2: moving-entry graph format; never reuse a v1 (entry=0) graph —
+    # round 3 recorded recall .002 here because the pinned-entry stand-in
+    # left node 0 in an out-closed 154-node island (see ref_baseline.cpp
+    # header comment for the diagnosis).
+    graph_path = tmp / f"graph_{N_VAL}_v2.bin"
     if not graph_path.exists():
         print(f"building C++ reference index at n={N_VAL} "
               "(expect ~30-40 min single-thread)", file=sys.stderr)

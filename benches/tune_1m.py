@@ -66,6 +66,10 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
 
     def measure(ef, batch, promote=None, label=None, max_iters=None,
                 expand=4):
+        # CLAUDE.md fact 28: compiling promote_width > 96 on this stack hung
+        # the compile and wedged the single shared chip's claim for hours.
+        assert promote is None or promote <= 96, (
+            f"promote_width={promote} > 96 wedges the TPU (fact 28)")
         label = label or (
             f"ef{ef}_b{batch}" + (f"_p{promote}" if promote else "")
             + (f"_i{max_iters}" if max_iters else "")
@@ -159,7 +163,9 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
         # Floor-hunting (M: p64/i10 .9381 @ 41k; p96/i10 .9684 @ 35.7k).
         searcher = StoredSearcher(graph, x, metric, sketch=sketch,
                                   routing_size=65536)
-        for p, mi in ((64, 8), (96, 8), (128, 8), (128, 10), (96, 6)):
+        # (128, 8)/(128, 10) dropped: promote_width > 96 wedges the chip
+        # (fact 28; measure() now also guards this).
+        for p, mi in ((64, 8), (96, 8), (96, 6)):
             measure(32, 4096, promote=p, max_iters=mi,
                     label=f"p{p}_r65536_i{mi}")
     elif tag == "K":

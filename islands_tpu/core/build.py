@@ -544,6 +544,16 @@ def wave_body(
     # 4b. reverse edges
     src = jnp.broadcast_to(wave_ids[:, None], (wave, m0))
     edge_valid = (sel_ids != SENTINEL) & wave_ok[:, None]
+    if refine:
+        # Refine re-selects rows for nodes whose edges already exist, so a
+        # destination row may already contain the source; insertion waves
+        # never hit this (the source id is brand new). Without the mask,
+        # rows that stay at degree <= m0 keep duplicate ids forever (repair
+        # and the final sweep only trigger on degree > m0) — advisor round-4
+        # fix. One [wave, m0, bw] row-gather + compare, refine-mode only.
+        dest_rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
+        already = jnp.any(dest_rows == src[:, :, None], axis=-1)
+        edge_valid = edge_valid & ~already
     neighbors, degrees, nbr_sketch = _scatter_reverse_edges(
         neighbors, degrees, sel_ids, sel_dists, src, edge_valid,
         nbr_sketch, node_sketch if sketch is not None else None,

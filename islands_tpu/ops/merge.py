@@ -22,11 +22,11 @@ wasted work. This module provides:
 - `pack_id_expanded` / `unpack_id_expanded`: the pool's (id, expanded) pair
   packed into one int32 so merges carry 2 sort operands instead of 3
   (distance + code), shrinking every compare-exchange stage.
-- `dedup_first`: duplicate-id masking via an [E, E] equality matrix on the
-  VPU, replacing the sort-by-id pass the hop loop previously needed before
-  it could merge (ids arrive grouped by expanded parent, so duplicates are
-  arbitrary positions; the equality matrix is elementwise + a reduce,
-  cheaper than a 2-operand sort network at hop widths E <= ~512).
+
+(The hop loops dedup discoveries with a sort-by-id pass in core/search.py
+`_dedup_sorted`; an [E, E] equality-matrix alternative was prototyped here
+in round 3 but never wired in or measured, so it was removed — see git
+history `dedup_first` if that experiment is revisited.)
 
 Distances must be non-NaN (inf padding is fine) — comparisons with NaN
 would break the merge invariant.
@@ -51,21 +51,6 @@ def pack_id_expanded(ids: Array, expanded: Array) -> Array:
 def unpack_id_expanded(code: Array) -> tuple[Array, Array]:
     """Inverse of pack_id_expanded: -> (ids, expanded)."""
     return code >> 1, (code & 1).astype(bool)
-
-
-def dedup_first(ids: Array, valid: Array) -> Array:
-    """Mask keeping only the FIRST occurrence of each valid id.
-
-    ids [E] int32, valid [E] bool -> keep [E] bool. Invalid entries never
-    match anything and are dropped. O(E^2) elementwise equality + reduce —
-    at hop widths (E = expand_width * m0 <= ~512) this is cheaper than the
-    2-operand sort network it replaces, and it preserves input order so the
-    caller can sort by DISTANCE instead (which the merge needs anyway)."""
-    e = ids.shape[0]
-    eq = (ids[:, None] == ids[None, :]) & valid[None, :]
-    earlier = jnp.tril(jnp.ones((e, e), dtype=bool), k=-1)
-    dup = jnp.any(eq & earlier, axis=1)
-    return valid & ~dup
 
 
 def bitonic_merge(d: Array, aux: Array) -> tuple[Array, Array]:

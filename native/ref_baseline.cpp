@@ -22,8 +22,19 @@
 //   ref_baseline build  <vec.f32> <n> <d> <graph.out> [m0] [efc] [report_every]
 //   ref_baseline search <graph.bin> <vec.f32> <n> <d> <q.f32> <nq> <ef> <k> <ids.out>
 //
-// File formats: vectors are row-major f32; graph.bin = int32 n, m0, then n
-// rows of m0 int32 (-1 padded); ids.out = nq rows of k int32.
+// File formats: vectors are row-major f32; graph.bin (v2) = int32 n, m0,
+// entry, then n rows of m0 int32 (-1 padded); ids.out = nq rows of k int32.
+//
+// Entry-point fidelity (round-4 fix): the reference assigns each node a
+// random level (level = floor(-ln(U) * ml), ml = 1/ln(30), leann.rs:549-553)
+// and moves the single entry point to the newest node that sets a new max
+// level (leann.rs:610-613); BOTH insert-time and query-time searches start
+// there (leann.rs:669, :889). The original stand-in pinned entry=0 for build
+// and search, which at n=512k on the clustered bench workload left node 0
+// inside a tiny out-closed island (154 nodes) and recorded recall .002 —
+// a harness artifact, not the reference's behavior. The moving entry is now
+// implemented exactly, with a fixed RNG seed for reproducibility, and the
+// final entry id is persisted in the graph header so search uses it.
 
 #include <algorithm>
 #include <chrono>
@@ -186,9 +197,24 @@ int main(int argc, char** argv) {
         std::fclose(f);
 
         std::vector<std::vector<int>> adj(n);
+        // Moving entry point with random levels (leann.rs:549-553, 610-613):
+        // level = floor(-ln(U) * ml), ml = 1/ln(30); entry moves to the
+        // newest node whose level exceeds the running max. Seeded for
+        // reproducible baselines.
+        std::mt19937_64 rng(42);
+        std::uniform_real_distribution<double> unif(
+            std::nextafter(0.0, 1.0), 1.0);
+        const double ml = 1.0 / std::log(30.0);
+        const int max_layers = 16;
+        auto random_level = [&]() {
+            int lvl = (int)std::floor(-std::log(unif(rng)) * ml);
+            return std::min(lvl, max_layers - 1);
+        };
         int entry = 0;
+        int max_level = random_level();  // node 0 seeds the entry
         auto t0 = clk::now();
         for (int i = 1; i < n; ++i) {
+            int level = random_level();
             const float* q = x.data() + (size_t)i * d;
             auto cands = search_layer(adj, x.data(), d, q, entry, efc);
             auto sel = prune_preserve(cands, adj, m0, hub_pct);
@@ -198,6 +224,10 @@ int main(int argc, char** argv) {
                 if ((int)adj[nb].size() > m0)
                     prune_to_nearest(adj[nb], x.data(), d,
                                      x.data() + (size_t)nb * d, m0);
+            }
+            if (level > max_level) {  // leann.rs:610-613
+                entry = i;
+                max_level = level;
             }
             if (report > 0 && (i + 1) % report == 0) {
                 double secs =
@@ -211,8 +241,8 @@ int main(int argc, char** argv) {
         std::printf("build_done n=%d secs=%.3f vps=%.1f\n", n, secs, n / secs);
 
         FILE* g = std::fopen(out_path, "wb");
-        int32_t hdr[2] = {n, m0};
-        std::fwrite(hdr, 4, 2, g);
+        int32_t hdr[3] = {n, m0, entry};
+        std::fwrite(hdr, 4, 3, g);
         std::vector<int32_t> row(m0);
         for (int i = 0; i < n; ++i) {
             std::fill(row.begin(), row.end(), -1);
@@ -243,12 +273,17 @@ int main(int argc, char** argv) {
         std::fclose(f);
 
         f = std::fopen(graph_path, "rb");
-        int32_t hdr[2];
-        if (!f || std::fread(hdr, 4, 2, f) != 2 || hdr[0] != n) {
+        int32_t hdr[3];
+        if (!f || std::fread(hdr, 4, 3, f) != 3 || hdr[0] != n) {
             std::fprintf(stderr, "graph/vector mismatch\n");
             return 1;
         }
         int m0 = hdr[1];
+        int entry = hdr[2];
+        if (entry < 0 || entry >= n) {
+            std::fprintf(stderr, "bad entry point in graph header\n");
+            return 1;
+        }
         std::vector<std::vector<int>> adj(n);
         std::vector<int32_t> row(m0);
         for (int i = 0; i < n; ++i) {
@@ -259,12 +294,13 @@ int main(int argc, char** argv) {
         std::fclose(f);
 
         std::vector<int32_t> out((size_t)nq * k, -1);
-        // Warm one query (page-in), then time the batch.
-        search_layer(adj, x.data(), d, q.data(), 0, ef);
+        // Warm one query (page-in), then time the batch. Queries start at
+        // the stored entry point (leann.rs:889).
+        search_layer(adj, x.data(), d, q.data(), entry, ef);
         auto t0 = clk::now();
         for (int i = 0; i < nq; ++i) {
             auto res = search_layer(adj, x.data(), d, q.data() + (size_t)i * d,
-                                    0, ef);
+                                    entry, ef);
             for (int j = 0; j < k && j < (int)res.size(); ++j)
                 out[(size_t)i * k + j] = res[j].id;
         }

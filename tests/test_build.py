@@ -40,8 +40,9 @@ def graph_invariants(graph, n, m0):
         assert len(set(row.tolist())) == len(row), i
 
 
+# Deliberately NOT slow-marked (round-4 advisor fix): the default tier must
+# keep at least one end-to-end recall oracle + the connectivity invariant.
 @pytest.mark.parametrize("metric", [DistanceMetric.COSINE, DistanceMetric.EUCLIDEAN])
-@pytest.mark.slow
 def test_build_invariants_and_recall(metric):
     n, dim = 600, 32
     x = make_vectors(n, dim, seed=20)
@@ -59,6 +60,19 @@ def test_build_invariants_and_recall(metric):
     ])
     # Reference CI floor is 35% @k=1 (hnsw.rs:848-853); we demand far more.
     assert recall >= 0.85, recall
+
+
+def test_refine_no_duplicate_edges_at_low_degree():
+    """Refine re-scatters reverse edges for nodes whose edges already exist;
+    rows that stay at degree <= m0 are never repaired, so without the
+    refine-mode contains-mask they kept duplicate neighbor ids (advisor
+    round-4 finding). Large m0 relative to n keeps most rows under m0 so
+    repair can't hide the bug."""
+    n = 220
+    x = make_vectors(n, 16, seed=41)
+    cfg = small_config(m0=32, reverse_slack=24, refine_passes=1)
+    graph = build_index(x, cfg)
+    graph_invariants(graph, n, cfg.m0)  # includes per-row duplicate check
 
 
 @pytest.mark.slow
@@ -91,7 +105,6 @@ def test_refine_pass_improves_recall():
     assert r1 >= 0.85, r1
 
 
-@pytest.mark.slow
 def test_build_connectivity():
     """Every node reachable from the entry point (spec
     test_pruning_preserves_connectivity, docs/leann-specification.md:852-864)."""

@@ -76,15 +76,6 @@ def test_pack_unpack_roundtrip():
     assert int(code[-1]) == -1
 
 
-def test_dedup_first_keeps_first_occurrence():
-    ids = jnp.asarray([7, 3, 7, 9, 3, 3, 11], dtype=jnp.int32)
-    valid = jnp.asarray([True, True, True, False, True, True, True])
-    keep = np.asarray(M.dedup_first(ids, valid))
-    np.testing.assert_array_equal(
-        keep, [True, True, False, False, False, False, True]
-    )
-
-
 def test_merge_inside_jit_and_vmap():
     @jax.jit
     def f(pd, pa, nd, na):

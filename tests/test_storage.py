@@ -135,7 +135,8 @@ class TestIndexRoundTrip:
         ))
         return idx, x, prov
 
-    @pytest.mark.slow
+    # NOT slow-marked (round-4 advisor fix): the default tier must keep a
+    # full save/load round-trip oracle.
     def test_round_trip_search_identical(self, built, tmp_path):
         idx, x, prov = built
         path = tmp_path / "index.leann"
