@@ -41,12 +41,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 ROOT = pathlib.Path(__file__).resolve().parent
-SIZES = [16384, 32768, 65536, 131072]
+SIZES = [int(s) for s in os.environ.get(
+    "BENCH_SIZES", "16384,32768,65536,131072").split(",")]
 N_FULL = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = 512
 M0, EFC = 60, 128
 TARGET_RECALL = 0.9
+# Non-default dims (e.g. BENCH_DIM=768 for config 4's like-for-like
+# denominator) write a side file and tag tmp artifacts so they never
+# clobber the headline 128-d baseline.
+SUFFIX = "" if DIM == 128 else f"_{DIM}d"
+OUT_PATH = ROOT / f"BASELINE_MEASURED{SUFFIX}.json"
 
 
 def build_binary() -> pathlib.Path:
@@ -74,16 +80,16 @@ def main():
     x, queries = make_bench_corpus(N_FULL, DIM, NQ)
     x = np.asarray(x[:n_max], dtype=np.float32)
     queries = np.asarray(queries, dtype=np.float32)
-    (tmp / "vec.f32").write_bytes(x.tobytes())
-    (tmp / "q.f32").write_bytes(queries.tobytes())
+    (tmp / f"vec{SUFFIX}.f32").write_bytes(x.tobytes())
+    (tmp / f"q{SUFFIX}.f32").write_bytes(queries.tobytes())
 
     # --- 1. sequential build scaling ---
     build_points = []  # (n, seconds, vps)
     for n in SIZES:
         t0 = time.perf_counter()
         out = subprocess.run(
-            [str(exe), "build", str(tmp / "vec.f32"), str(n), str(DIM),
-             str(tmp / f"graph_{n}_v2.bin"), str(M0), str(EFC), "0"],
+            [str(exe), "build", str(tmp / f"vec{SUFFIX}.f32"), str(n), str(DIM),
+             str(tmp / f"graph_{n}{SUFFIX}_v2.bin"), str(M0), str(EFC), "0"],
             check=True, capture_output=True, text=True, timeout=3600,
         ).stdout
         m = re.search(r"build_done n=(\d+) secs=([\d.]+) vps=([\d.]+)", out)
@@ -132,14 +138,14 @@ def main():
     chosen = None
     for ef in (32, 48, 64, 96, 128, 192, 256):
         out = subprocess.run(
-            [str(exe), "search", str(tmp / f"graph_{n}_v2.bin"), str(tmp / "vec.f32"),
-             str(n), str(DIM), str(tmp / "q.f32"), str(NQ), str(ef), "10",
-             str(tmp / "ids.bin")],
+            [str(exe), "search", str(tmp / f"graph_{n}{SUFFIX}_v2.bin"), str(tmp / f"vec{SUFFIX}.f32"),
+             str(n), str(DIM), str(tmp / f"q{SUFFIX}.f32"), str(NQ), str(ef), "10",
+             str(tmp / f"ids{SUFFIX}.bin")],
             check=True, capture_output=True, text=True, timeout=600,
         ).stdout
         m = re.search(r"qps=([\d.]+)", out)
         qps = float(m.group(1))
-        ids = np.frombuffer((tmp / "ids.bin").read_bytes(), dtype=np.int32).reshape(NQ, 10)
+        ids = np.frombuffer((tmp / f"ids{SUFFIX}.bin").read_bytes(), dtype=np.int32).reshape(NQ, 10)
         rec = float(np.mean([
             len(set(ids[i].tolist()) & set(true_ids[i].tolist())) / 10.0
             for i in range(NQ)
@@ -162,8 +168,8 @@ def main():
             "single-thread C++ -O3 reimplementation of the reference's "
             "sequential algorithm (native/ref_baseline.cpp) on the bench "
             "workload; build fit a+b*log2(n) on measured prefixes, query "
-            "QPS measured at n=131072 at recall@10>=0.9 and scaled by "
-            "log2(131072)/log2(N) for search-depth growth"
+            f"QPS measured at n={n_max} at recall@10>=0.9 and scaled by "
+            f"log2({n_max})/log2(N) for search-depth growth"
         ),
         "cpu": "driver host, single thread",
         "build_points": [
@@ -180,7 +186,7 @@ def main():
         "m0": M0,
         "ef_construction": EFC,
     }
-    (ROOT / "BASELINE_MEASURED.json").write_text(json.dumps(result, indent=1))
+    OUT_PATH.write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
 
 

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def run(tag, dims, efc, mult, wave=4096, refine=0):
+def run(tag, dims, efc, mult, wave=4096, refine=0, slack=None):
     from islands_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -31,9 +31,10 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
 
     n, dim, nq = 1_000_000, 128, 4096
     metric = DistanceMetric.EUCLIDEAN
+    kw = {} if slack is None else {"reverse_slack": slack}
     cfg = LeannConfig(metric=metric, wave_size=wave, sketch_dims=dims,
                       ef_construction=efc, sketch_pool_mult=mult,
-                      refine_passes=refine)
+                      refine_passes=refine, **kw)
     x, queries = make_bench_corpus(n, dim, nq)
 
     # Ground truth first (before build state occupies HBM) and cached on
@@ -192,6 +193,23 @@ def run(tag, dims, efc, mult, wave=4096, refine=0):
         measure(24, 4096, max_iters=20)
         measure(32, 4096)                      # uncapped ceiling
         measure(32, 4096, max_iters=28, promote=48)  # margin point
+    elif tag == "O":
+        # dims=48 at 1M WITHOUT the OOM (VERDICT r3 #7 / fact 16): the
+        # build peak scales with buffer width bw = m0 + reverse_slack, so
+        # slack 60 -> 20 puts the nbr_sketch at 80*48 = 3840 B/vec — the
+        # same footprint as the proven dims=32/bw=120 config. Decision
+        # rung: if ef32/i16 gains >= .01 recall over dims=32 (.9099) at
+        # equal QPS, adopt; else record the negative result in design.md.
+        # (Smaller slack also means fewer reverse-edge slots between
+        # repairs, so recall deltas mix sketch fidelity with graph quality
+        # — the uncapped rung separates them: fidelity-limited configs
+        # converge to the same ceiling, graph-limited ones don't.)
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        measure(32, 4096, max_iters=16, label="r65536_i16")
+        measure(32, 4096, max_iters=14, label="r65536_i14")
+        measure(32, 4096, promote=64, max_iters=10, label="p64_r65536_i10")
+        measure(32, 4096, label="uncapped")
     else:
         measure(32, 2048)
         measure(24, 2048)
@@ -207,6 +225,7 @@ if __name__ == "__main__":
             "G": (32, 64, 2, 4096, 1), "H": (32, 64, 2, 4096, 0),
             "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0),
             "K": (32, 64, 2, 4096, 0), "L": (32, 64, 2, 4096, 0),
-            "M": (32, 64, 2, 4096, 0), "N": (32, 64, 2, 4096, 0)}
-    dims, efc, mult, wave, refine = cfgs[tag]
-    run(tag, dims, efc, mult, wave, refine)
+            "M": (32, 64, 2, 4096, 0), "N": (32, 64, 2, 4096, 0),
+            "O": (48, 64, 2, 4096, 0, 20)}
+    spec = cfgs[tag]
+    run(tag, *spec)
