@@ -26,7 +26,11 @@ from islands_tpu.core.embedding import (
     InMemoryEmbeddingProvider,
     materialize_embeddings,
 )
-from islands_tpu.core.pq import ProductQuantizer, gated_prep_for, gated_scorer_for
+from islands_tpu.core.pq import (
+    ProductQuantizer,
+    gated_block_scorer_for,
+    gated_prep_for,
+)
 from islands_tpu.core.search import (
     batched_search,
     batched_two_level_search,
@@ -64,6 +68,11 @@ class LeannIndex:
         self.sketch = None  # ops/proj.SketchIndex from construction
         self.last_recompute_fraction: float | None = None
         self._routing: Array | None = None
+        # Inline neighbor-code blocks [N, m0*S] u8 for the two-level hop
+        # (pq.build_inline_codes) — derived from (graph, pq_codes), never
+        # persisted; cache keyed on both shapes so build/extend invalidate.
+        self._nbr_codes: Array | None = None
+        self._nbr_codes_key = None
 
     # -- introspection (reference: leann.rs:836-856) -----------------------
 
@@ -177,6 +186,25 @@ class LeannIndex:
             self.pq_codes = self.pq.encode(x_all)
         del x_all
         return self
+
+    def _inline_codes(self) -> Array:
+        """Derived inline neighbor-code blocks for the two-level hop,
+        recomputed whenever the graph or the codes change (build, extend,
+        load). One [N*m0] row gather — cheap relative to any search."""
+        from islands_tpu.core.pq import build_inline_codes
+
+        # Key on the source arrays themselves (identity comparison): a
+        # rebuild at the same n swaps both arrays but keeps their shapes,
+        # and holding the refs keeps ids from being recycled.
+        key = (self.graph.neighbors, self.pq_codes)
+        if self._nbr_codes is None or self._nbr_codes_key is None or not (
+            self._nbr_codes_key[0] is key[0] and self._nbr_codes_key[1] is key[1]
+        ):
+            self._nbr_codes = build_inline_codes(
+                self.graph.neighbors, self.pq_codes
+            )
+            self._nbr_codes_key = key
+        return self._nbr_codes
 
     def _init_routing(self) -> None:
         n = self.graph.num_nodes if self.graph is not None else 0
@@ -335,10 +363,11 @@ class LeannIndex:
         exact = make_recompute_scorer(provider.embed_fn, self.config.metric)
         qp = dist_ops.prep_query(q, self.config.metric)
         dists, ids, n_exact = batched_two_level_search(
-            qp, provider.embed_ctx, self.pq_codes, self.pq.codebook.centroids,
+            qp, provider.embed_ctx, self._inline_codes(),
+            self.pq.codebook.centroids,
             graph.neighbors, graph.entry_point,
             exact_scorer=exact,
-            approx_scorer=gated_scorer_for(self.config.metric),
+            approx_scorer=gated_block_scorer_for(self.config.metric),
             prep_fn=gated_prep_for(self.config.metric),
             ef=ef, aq_width=aq_width, promote_width=promote_width,
             expand_width=expand_width, max_iters=max_iters,

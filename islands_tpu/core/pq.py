@@ -419,23 +419,70 @@ def _build_metric_tables(q: Array, centroids: Array, metric_name: str) -> Array:
     return t.transpose(1, 0, 2)  # [B, S, k]
 
 
-def _gated_approx_scorer(ctx, tables: Array, ids: Array, valid: Array, *, metric_name: str) -> Array:
-    """Approximate hop scorer: ctx = codes [n, S]; out[e] =
-    finalize(sum_s tables[s, codes[ids[e], s]]) on the exact metric's scale."""
-    codes = ctx
-    n = codes.shape[0]
-    rows = codes[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)  # [E, S]
-    g = jnp.take_along_axis(tables[None, :, :], rows[:, :, None], axis=2)[..., 0]
-    s = jnp.sum(g, axis=-1)  # [E]
+def build_inline_codes(neighbors: Array, codes: Array) -> Array:
+    """Inline neighbor-code blocks: [N, m0] graph + [n, S] u8 codes ->
+    [N, m0*S] u8, row i = the PQ codes of node i's neighbors, concatenated.
+
+    The two-level hop previously gathered one [S] code row per CANDIDATE
+    (expand_width * m0 per query per hop) — TPU gathers are count-bound at
+    ~10 ns/row regardless of row size (CLAUDE.md facts 7-8), which made the
+    ADC hop the config-4 wall. With inline blocks the hop gathers one
+    m0*S-byte block per EXPANDED node (expand_width per hop, m0x fewer
+    gathers), the same layout fix that took the sketch gate from 9.6k to
+    38k QPS (docs/design.md §10). Derived from graph + codes at searcher
+    setup (not persisted; rebuild cost is one [N*m0] row gather).
+
+    Sentinel (-1) neighbor slots get node 0's codes; they are masked by
+    the hop's nbr_valid before anything is scored.
+    """
+    n_codes = codes.shape[0]
+    safe = jnp.clip(neighbors, 0, max(n_codes - 1, 0))
+    blocks = jnp.asarray(codes, dtype=jnp.uint8)[safe]  # [N, m0, S]
+    return blocks.reshape(neighbors.shape[0], -1)
+
+
+def _gated_block_scorer(
+    tables: Array, block_codes: Array, valid: Array, *, metric_name: str
+) -> Array:
+    """ADC over pre-gathered inline code blocks, one-hot-matmul form.
+
+    tables [S, K] f32 (per-query, built by gated_prep_for), block_codes
+    [E, S] u8, valid [E] -> dists [E] on the exact metric's scale.
+
+    out[e] = finalize(sum_s tables[s, block_codes[e, s]]) — evaluated as
+    einsum('esk,sk->e', onehot(codes), tables) so XLA lowers it to an MXU
+    contraction instead of an element-serialized take_along_axis gather
+    (~E*S serialized elements per query per hop otherwise; CLAUDE.md fact 2:
+    TPU element gathers/scatters are ~ns-each, matmuls are free by
+    comparison at these sizes)."""
+    k = tables.shape[1]
+    c = block_codes.astype(jnp.int32)
+    onehot = (c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2))
+    s = jnp.einsum(
+        "esk,sk->e", onehot.astype(tables.dtype), tables,
+        preferred_element_type=jnp.float32,
+    )
     if metric_name == "cosine":
         d = 1.0 + s
-    elif metric_name == "dotproduct":
-        d = s
     elif metric_name == "euclidean":
         d = jnp.sqrt(jnp.maximum(s, 0.0))
-    else:
+    else:  # dotproduct / manhattan: sums are already on the metric scale
         d = s
     return jnp.where(valid, d, jnp.inf)
+
+
+_GATED_BLOCK_SCORERS: dict = {}
+
+
+def gated_block_scorer_for(metric):
+    """Cached inline-block ADC scorer for the two-level search (see
+    _gated_block_scorer). Partner of gated_prep_for."""
+    mname = getattr(metric, "value", str(metric))
+    if mname not in _GATED_BLOCK_SCORERS:
+        _GATED_BLOCK_SCORERS[mname] = functools.partial(
+            _gated_block_scorer, metric_name=mname
+        )
+    return _GATED_BLOCK_SCORERS[mname]
 
 
 def _gated_prep(ctx, qp: Array, *, metric_name: str) -> Array:
@@ -444,21 +491,7 @@ def _gated_prep(ctx, qp: Array, *, metric_name: str) -> Array:
     return _build_metric_tables(qp, ctx, metric_name)
 
 
-_GATED_SCORERS: dict = {}
 _GATED_PREPS: dict = {}
-
-
-def gated_scorer_for(metric):
-    """Cached approximate scorer for the two-level search whose outputs live
-    on the same scale as the exact metric (cosine distance ~ 1 - q.recon,
-    etc.). For COSINE the quantizer must have been trained on L2-normalized
-    vectors. ctx = the PQ codes array."""
-    mname = getattr(metric, "value", str(metric))
-    if mname not in _GATED_SCORERS:
-        _GATED_SCORERS[mname] = functools.partial(
-            _gated_approx_scorer, metric_name=mname
-        )
-    return _GATED_SCORERS[mname]
 
 
 def gated_prep_for(metric):

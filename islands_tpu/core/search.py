@@ -652,12 +652,12 @@ def _search_one_two_level(
     q: Array,
     tables: Array,
     exact_ctx,
-    approx_ctx,
+    nbr_codes: Array,
     neighbors: Array,
     entry_point: Array,
     *,
     exact_scorer: Scorer,
-    approx_scorer: Scorer,
+    approx_scorer,
     ef: int,
     aq_width: int,
     promote_width: int,
@@ -668,10 +668,17 @@ def _search_one_two_level(
     docs/leann-specification.md:223-271) for a single query.
 
     Neighbors discovered each hop are scored with the cheap approximate
-    scorer (PQ-ADC table gather over `approx_ctx` = codes) into a persistent
-    fixed-width Approximate Queue; only the best `promote_width` AQ entries
-    per hop are promoted to exact scoring (embedding recompute via
-    `exact_ctx`) and merged into the exact pool.
+    scorer — PQ-ADC over `nbr_codes`, the INLINE neighbor-code blocks
+    ([N, m0*S] u8, pq.build_inline_codes): each hop gathers one block per
+    expanded node (expand_width block gathers) instead of one code row per
+    candidate (expand_width*m0 count-bound gathers — the round-3 config-4
+    wall; same layout fix as the sketch gate, docs/design.md §10) — into a
+    persistent fixed-width Approximate Queue; only the best `promote_width`
+    AQ entries per hop are promoted to exact scoring (embedding recompute
+    via `exact_ctx`) and merged into the exact pool.
+
+    `approx_scorer(tables, block_codes [E, S], valid [E]) -> dists [E]`
+    (pq.gated_block_scorer_for — one-hot-matmul ADC, no serialized gathers).
 
     Returns (pool_dists [ef], pool_ids [ef], n_exact_scored scalar) — the
     last is the recompute-efficiency metric the reference only dead-codes
@@ -702,7 +709,7 @@ def _search_one_two_level(
         worst = pool_dists[-1]
         exact_work = (best_unexp < _INF) & (best_unexp <= worst)
         # AQ distances are on the exact metric's scale (see
-        # pq.gated_scorer_for), so "could the best approximate candidate
+        # pq.gated_block_scorer_for), so "could the best approximate candidate
         # improve the pool" is a valid cross-queue comparison. The finite
         # guard stops the loop when both queues are exhausted (inf <= inf
         # would otherwise spin to max_iters).
@@ -721,21 +728,31 @@ def _search_one_two_level(
         )
         sel_ids = pool_code[sel_pos] >> 1
 
-        rows = neighbors[jnp.clip(sel_ids, 0, n - 1)]
+        safe = jnp.clip(sel_ids, 0, n - 1)
+        rows = neighbors[safe]
+        blocks = nbr_codes[safe]                     # [E, m0*S] u8
         nbr_ids = rows.reshape(em)
         nbr_valid = sel_valid[:, None].repeat(m, axis=1).reshape(em) & (nbr_ids != SENTINEL)
+
+        d_approx = approx_scorer(tables, blocks.reshape(em, -1), nbr_valid)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
-        sorted_ids, keep = _dedup_sorted(nbr_ids, n)
-        # Scatter-free visited: not in the approximate queue and not in the
-        # exact pool (see _not_in_set for the monotonicity argument).
+
+        # Sort by id (carrying the ADC distance), mask duplicates, then the
+        # scatter-free visited checks: not in the approximate queue and not
+        # in the exact pool (see _not_in_set for the monotonicity argument).
+        sorted_ids, d_approx = jax.lax.sort((nbr_ids, d_approx), num_keys=1)
+        prev = jnp.concatenate(
+            [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
+        )
+        keep = (sorted_ids < n) & (sorted_ids != prev)
         keep = keep & _not_in_set(sorted_ids, aq_ids)
         keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
-        d_approx = approx_scorer(approx_ctx, tables, sorted_ids, keep)
         new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+        new_d = jnp.where(keep, d_approx, _INF)
 
         # --- bitonic-merge into the approximate queue (ops/merge) ---
-        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, d_approx, new_ids)
+        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, new_d, new_ids)
 
         # --- Phase 2: promote best promote_width AQ entries to exact ---
         prom_ids = aq_i[:promote_width]
@@ -811,13 +828,13 @@ def batched_search(
 def batched_two_level_search(
     qp: Array,
     exact_ctx,
-    approx_ctx,
+    nbr_codes: Array,
     prep_ctx,
     neighbors: Array,
     entry_point: Array,
     *,
     exact_scorer: Scorer,
-    approx_scorer: Scorer,
+    approx_scorer,
     prep_fn,
     ef: int,
     aq_width: int,
@@ -825,7 +842,9 @@ def batched_two_level_search(
     expand_width: int = 4,
     max_iters: int = 100,
 ) -> tuple[Array, Array, Array]:
-    """Two-level batched search. `prep_fn(prep_ctx, qp) -> tables [B, ...]`
+    """Two-level batched search over inline neighbor-code blocks
+    (`nbr_codes` [N, m0*S] u8, pq.build_inline_codes; `approx_scorer` from
+    pq.gated_block_scorer_for). `prep_fn(prep_ctx, qp) -> tables [B, ...]`
     builds the per-query ADC tables inside the same jit."""
     tables = prep_fn(prep_ctx, qp)
     search = functools.partial(
@@ -840,7 +859,7 @@ def batched_two_level_search(
         expand_width=expand_width,
         max_iters=max_iters,
     )
-    return jax.vmap(lambda q, t: search(q, t, exact_ctx, approx_ctx))(qp, tables)
+    return jax.vmap(lambda q, t: search(q, t, exact_ctx, nbr_codes))(qp, tables)
 
 
 def default_max_iters(ef: int, expand_width: int) -> int:

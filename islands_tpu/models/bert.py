@@ -164,9 +164,13 @@ def bert_forward(
     )
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], eps).astype(dtype)
 
-    # additive mask: 0 for real tokens, -inf for padding
-    neg = jnp.finfo(jnp.float32).min
-    attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    # Additive mask: 0 for real tokens, -1e9 for padding — in the compute
+    # dtype, so the bias add never forces the [B, H, L, L] score tensor up
+    # to f32 in HBM (exp(-1e9 - max) underflows to exactly 0 in f32, same
+    # as -inf; -1e9 is exactly representable in bf16).
+    attn_bias = jnp.where(
+        attention_mask[:, None, None, :] > 0, 0.0, -1e9
+    ).astype(dtype)
 
     def dense(v, wname, bname, lp):
         return (
@@ -183,21 +187,33 @@ def bert_forward(
         for k_, v_ in params["layers"].items()
     }
 
+    inv_sqrt_hd = np.float32(1.0 / np.sqrt(hd))
+
     def layer_body(carry, lp):
         x = carry
         qkv = dense(x, "qkv_w", "qkv_b", lp)
-        qkv = qkv.reshape(b, slen, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        scores = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            / np.sqrt(hd)
-            + attn_bias
+        # HBM-bandwidth layout (round-4 minilm fix; the encoder is
+        # bandwidth-bound at hidden=384, BENCH_ENCODER round 3):
+        # - q/k/v are contiguous SLICES of the qkv output reshaped
+        #   [B, L, H, D] — no 5-D transpose materializing head-major
+        #   tensors whose 32-wide minor dim tile-pads 4x (fact 9);
+        # - scores/probs live in HBM as bf16 (halves the two largest
+        #   per-layer tensors); softmax statistics still run in f32
+        #   inside one fused kernel (upcast + reduce + downcast fuse);
+        # - the PV einsum writes [B, L, H, D] and reshapes straight to
+        #   [B, L, H*D] (a contiguous merge) for the output projection.
+        q = qkv[..., :h].reshape(b, slen, nh, hd)
+        k = qkv[..., h : 2 * h].reshape(b, slen, nh, hd)
+        v = qkv[..., 2 * h :].reshape(b, slen, nh, hd)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         )
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        scores = (scores * inv_sqrt_hd).astype(dtype) + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
         ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         ).astype(dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, slen, h)
+        ctx = ctx.reshape(b, slen, h)
         attn_out = dense(ctx, "o_w", "o_b", lp)
         x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], eps)
         ff = jax.nn.gelu(dense(x, "ffn_in_w", "ffn_in_b", lp), approximate=False)

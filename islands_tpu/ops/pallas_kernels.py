@@ -121,7 +121,7 @@ def _adc_scan_jnp(tables: Array, codes: Array) -> Array:
 
 def adc_scan(tables: Array, codes: Array) -> Array:
     """Full ADC scan: tables [B, S, K] f32, codes [N, S] -> sums [B, N] f32
-    (no sqrt — callers finalize per metric, see pq.gated_scorer_for)."""
+    (no sqrt — callers finalize per metric, see pq.gated_block_scorer_for)."""
     if _on_tpu():
         return _adc_scan_pallas(tables, codes)
     return _adc_scan_jnp(tables, codes)

@@ -175,3 +175,50 @@ class TestProductQuantizer:
         pq.train(x, max_train_points=512)
         codes = pq.encode(x, chunk=1000)  # exercises chunked encode
         assert codes.shape == (4096, 4)
+
+
+class TestInlineCodeBlocks:
+    """Inline neighbor-code layout + one-hot-matmul ADC for the two-level
+    hop (round 4: the count-bound per-candidate code gather was the config-4
+    wall; reference ADC semantics: pq.rs:307-348)."""
+
+    def test_build_inline_codes_layout(self):
+        rng = np.random.default_rng(3)
+        n, m0, s = 32, 5, 8
+        codes = rng.integers(0, 256, size=(n, s)).astype(np.uint8)
+        neighbors = rng.integers(-1, n, size=(n, m0)).astype(np.int32)
+        from islands_tpu.core.pq import build_inline_codes
+
+        blocks = np.asarray(build_inline_codes(jnp.asarray(neighbors),
+                                               jnp.asarray(codes)))
+        assert blocks.shape == (n, m0 * s)
+        assert blocks.dtype == np.uint8
+        for i in range(n):
+            for j in range(m0):
+                nb = neighbors[i, j]
+                expect = codes[max(nb, 0)]  # sentinel -> node 0, masked later
+                np.testing.assert_array_equal(blocks[i, j * s:(j + 1) * s], expect)
+
+    @pytest.mark.parametrize("metric_name", ["euclidean", "cosine", "dotproduct"])
+    def test_block_scorer_matches_table_lookup(self, metric_name):
+        rng = np.random.default_rng(11)
+        s, k, e = 8, 64, 40
+        tables = rng.standard_normal((s, k)).astype(np.float32)
+        if metric_name == "euclidean":
+            tables = np.abs(tables)  # squared partial distances are >= 0
+        codes = rng.integers(0, k, size=(e, s)).astype(np.uint8)
+        valid = rng.random(e) < 0.8
+        from islands_tpu.core.pq import gated_block_scorer_for
+
+        d = np.asarray(gated_block_scorer_for(metric_name)(
+            jnp.asarray(tables), jnp.asarray(codes), jnp.asarray(valid)))
+
+        sums = tables[np.arange(s)[None, :], codes.astype(int)].sum(1)
+        if metric_name == "cosine":
+            expect = 1.0 + sums
+        elif metric_name == "euclidean":
+            expect = np.sqrt(np.maximum(sums, 0.0))
+        else:
+            expect = sums
+        np.testing.assert_allclose(d[valid], expect[valid], rtol=1e-5, atol=1e-5)
+        assert np.all(np.isinf(d[~valid]))
