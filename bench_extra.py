@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -182,9 +183,15 @@ def config3_recompute_100k():
     # recompute_iters.py + the ad-hoc ef/promote sweep recorded in
     # BENCH_EXTRA.json): ef=48/promote=32 with an iteration cap — the
     # encoder-bound QPS scales as 1/max_iters, so the cap is the knob.
+    # Ladder semantics (VERDICT r3 weak #3): the recorded points must all
+    # carry >= .01 recall margin over the .9 gate. i36 (.9191) is primary,
+    # i33 the fast point; i30 measured .9008 round 3 — .0008 of margin, so
+    # it is recorded under an explicit below-margin label, not as an
+    # operating point.
     for gate, label, bs, nq, ef, promote, mi in (
         ("sketch", "gated", 64, qn, 48, 32, 36),
-        ("sketch", "gated_fast", 64, qn, 48, 32, 30),
+        ("sketch", "gated_fast", 64, qn, 48, 32, 33),
+        ("sketch", "gated_floor_below_margin", 64, qn, 48, 32, 30),
         ("none", "per_hop", 16, 32, 64, None, None),
     ):
         idx.last_recompute_fraction = None
@@ -283,7 +290,7 @@ def config4_pq_1m_768():
     d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider,
                                    ef=ef, rerank_ratio=0.25, max_iters=mi)
     qps = NQ / (time.perf_counter() - t0)
-    return {
+    out = {
         "metric": "config4_pq_two_level_1Mx768",
         "n": N, "dim": DIM,
         "recall_at_10": round(rec, 4),
@@ -294,6 +301,14 @@ def config4_pq_1m_768():
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / N, 1),
     }
+    # Like-for-like 768-d denominator (VERDICT r3 missing #3): measured by
+    # `BENCH_DIM=768 bench_baseline.py` into BASELINE_MEASURED_768d.json.
+    base_path = Path(__file__).resolve().parent / "BASELINE_MEASURED_768d.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        out["ref_qps_768d"] = base["ref_qps"]
+        out["vs_baseline_768d"] = round(qps / base["ref_qps"], 2)
+    return out
 
 
 def main():
@@ -309,8 +324,6 @@ def main():
         results.append(r)
         print(json.dumps(r), flush=True)
     if which == "all":
-        from pathlib import Path
-
         Path(__file__).resolve().parent.joinpath("BENCH_EXTRA.json").write_text(
             json.dumps(results, indent=1)
         )
