@@ -458,8 +458,11 @@ def _gated_block_scorer(
     k = tables.shape[1]
     c = block_codes.astype(jnp.int32)
     onehot = (c[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2))
+    # bf16 operands, f32 accumulation: the MXU runs bf16 at 2x f32 rate and
+    # the ~0.4% relative rounding is far below PQ quantization error (the
+    # tables gate triage only — the pool is driven by exact distances).
     s = jnp.einsum(
-        "esk,sk->e", onehot.astype(tables.dtype), tables,
+        "esk,sk->e", onehot.astype(jnp.bfloat16), tables.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     if metric_name == "cosine":

@@ -220,5 +220,6 @@ class TestInlineCodeBlocks:
             expect = np.sqrt(np.maximum(sums, 0.0))
         else:
             expect = sums
-        np.testing.assert_allclose(d[valid], expect[valid], rtol=1e-5, atol=1e-5)
+        # bf16 einsum operands (f32 accumulation): ~0.4%/term rounding.
+        np.testing.assert_allclose(d[valid], expect[valid], rtol=3e-2, atol=3e-2)
         assert np.all(np.isinf(d[~valid]))
