@@ -97,16 +97,33 @@ def bench_config(name, cfg, seq, batches, reps=3, chains=(4, 20)):
 
 
 def main():
+    import dataclasses
+
     from islands_tpu.models.bert import BertConfig
     from islands_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     seq = 256
     out = {"seq": seq, "peak_flops": V5E_PEAK_BF16, "rows": []}
-    out["rows"] += bench_config("minilm-l6", BertConfig.minilm_l6(), seq,
-                                (64, 256, 1024))
-    out["rows"] += bench_config("bge-base", BertConfig.bge_base(), seq,
-                                (64, 256, 512))
+    if len(sys.argv) > 1 and sys.argv[1] == "variants":
+        # Attention-layout sweep (BertConfig.attn_impl docstring): minilm is
+        # HBM-bandwidth-bound on the [B, H, L, L] score tensor, so the
+        # folded-softmax / unpadded-transpose variants are measured head to
+        # head here before one becomes the default.
+        base = BertConfig.minilm_l6()
+        for impl in ("slice", "fold", "dtl"):
+            cfg = dataclasses.replace(base, attn_impl=impl)
+            out["rows"] += bench_config(f"minilm-l6[{impl}]", cfg, seq,
+                                        (64, 1024))
+        bge = BertConfig.bge_base()
+        for impl in ("slice", "fold"):
+            cfg = dataclasses.replace(bge, attn_impl=impl)
+            out["rows"] += bench_config(f"bge-base[{impl}]", cfg, seq, (64,))
+    else:
+        out["rows"] += bench_config("minilm-l6", BertConfig.minilm_l6(), seq,
+                                    (64, 256, 1024))
+        out["rows"] += bench_config("bge-base", BertConfig.bge_base(), seq,
+                                    (64, 256, 512))
     print(json.dumps(out))
 
 

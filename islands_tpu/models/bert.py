@@ -48,6 +48,20 @@ class BertConfig:
     pad_token_id: int = 0
     # compute dtype for matmuls; params stay f32
     dtype: str = "bfloat16"
+    # Attention inner layout (all mathematically identical; perf knob for
+    # the HBM-bandwidth-bound small-hidden models, BENCH_ENCODER.json):
+    #   "slice" — q/k/v as [B, L, H, D] slices of the fused qkv output
+    #             (round-4 baseline);
+    #   "fold"  — "slice" + softmax normalization folded into the tiny
+    #             [B, L, H, D] context output: the probs tensor is written
+    #             once as unnormalized exp and never re-written, saving one
+    #             full read+write pass over the [B, H, L, L] score tensor
+    #             per layer;
+    #   "dtl"   — "fold" + q/k materialized as [B, H, D, L] (minor dim L
+    #             is lane-sized, so the transpose writes are physically
+    #             unpadded; the [B, L, H, D] view's (H, D) minor tile pads
+    #             ~5x at head_dim 32 — fact 9).
+    attn_impl: str = "slice"
 
     @staticmethod
     def minilm_l6() -> "BertConfig":
@@ -202,17 +216,47 @@ def bert_forward(
         #   inside one fused kernel (upcast + reduce + downcast fuse);
         # - the PV einsum writes [B, L, H, D] and reshapes straight to
         #   [B, L, H*D] (a contiguous merge) for the output projection.
-        q = qkv[..., :h].reshape(b, slen, nh, hd)
-        k = qkv[..., h : 2 * h].reshape(b, slen, nh, hd)
-        v = qkv[..., 2 * h :].reshape(b, slen, nh, hd)
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        )
+        if config.attn_impl == "dtl":
+            v = jnp.einsum(
+                "blhd->bhdl", qkv[..., 2 * h :].reshape(b, slen, nh, hd))
+        else:
+            v = qkv[..., 2 * h :].reshape(b, slen, nh, hd)
+        if config.attn_impl == "dtl":
+            # q/k land in HBM as [B, H, D, L]: minor dim L is lane-sized,
+            # so the materialized transposes are physically unpadded
+            # (the [B, L, H, D] view tile-pads (H, D) ~5x at head_dim 32).
+            q = jnp.einsum("blhd->bhdl", qkv[..., :h].reshape(b, slen, nh, hd))
+            k = jnp.einsum(
+                "blhd->bhdl", qkv[..., h : 2 * h].reshape(b, slen, nh, hd))
+            scores = jnp.einsum(
+                "bhdq,bhdk->bhqk", q, k, preferred_element_type=jnp.float32)
+        else:
+            q = qkv[..., :h].reshape(b, slen, nh, hd)
+            k = qkv[..., h : 2 * h].reshape(b, slen, nh, hd)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = (scores * inv_sqrt_hd).astype(dtype) + attn_bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).astype(dtype)
+        if config.attn_impl in ("fold", "dtl"):
+            # Folded softmax: write the [B, H, L, L] probs tensor ONCE as
+            # unnormalized exp(s - max) and divide by the row sum at the
+            # tiny [B, L, H, D] context output instead — one fewer full
+            # read+write pass over the layer's largest tensor. Statistics
+            # stay f32; identical math to jax.nn.softmax.
+            s32 = scores.astype(jnp.float32)
+            smax = jnp.max(s32, axis=-1, keepdims=True)
+            probs = jnp.exp(s32 - smax).astype(dtype)
+            denom = jnp.einsum("bhqk->bhq", probs.astype(jnp.float32))
+            pv = "bhqk,bhdk->bqhd" if config.attn_impl == "dtl" else \
+                 "bhqk,bkhd->bqhd"
+            ctx = jnp.einsum(pv, probs, v, preferred_element_type=jnp.float32)
+            ctx = ctx / jnp.einsum("bhq->bqh", denom)[..., None]
+            ctx = ctx.astype(dtype)
+        else:
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1).astype(dtype)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+            ).astype(dtype)
         ctx = ctx.reshape(b, slen, h)
         attn_out = dense(ctx, "o_w", "o_b", lp)
         x = _layer_norm(x + attn_out, lp["attn_ln_scale"], lp["attn_ln_bias"], eps)

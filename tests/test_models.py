@@ -146,6 +146,33 @@ class TestHFParity:
         )
         np.testing.assert_allclose(ours, hf_pooled, atol=1e-4, rtol=1e-4)
 
+    def test_attn_impl_equivalence(self, checkpoint):
+        """The attention-layout variants (BertConfig.attn_impl) are
+        mathematically identical — folded-softmax and unpadded-transpose
+        layouts must reproduce the HF-parity-checked "slice" forward."""
+        import dataclasses as dc
+
+        from islands_tpu.models import bert as bert_mod
+
+        _, d = checkpoint
+        params, cfg = bert_mod.load_hf_checkpoint(d)
+        rng = np.random.default_rng(7)
+        ids = jnp.asarray(rng.integers(1, 1024, size=(3, 24)), jnp.int32)
+        mask_np = np.ones((3, 24), dtype=np.int32)
+        mask_np[2, 10:] = 0
+        mask = jnp.asarray(mask_np)
+
+        outs = {}
+        for impl in ("slice", "fold", "dtl"):
+            c = dc.replace(cfg, dtype="float32", attn_impl=impl)
+            outs[impl] = np.asarray(
+                bert_mod.bert_forward(params, ids, mask, c))
+        on = mask_np.astype(bool)
+        np.testing.assert_allclose(
+            outs["fold"][on], outs["slice"][on], atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            outs["dtl"][on], outs["slice"][on], atol=1e-5, rtol=1e-5)
+
     def test_loads_torch_bin_fallback(self, checkpoint, tmp_path):
         import shutil
 
