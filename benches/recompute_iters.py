@@ -52,15 +52,27 @@ def main():
         print(f"{label}: recall {rec:.4f}, {qps:.1f} QPS, rf {rf:.5f}",
               file=sys.stderr, flush=True)
 
-    # Rounds 1-2 (git log, routing=1024): default cap 40 = .9242 @ 18.6;
-    # i36 .9191 @ 20.6; i32 .9086 @ 23.3; i28 .8965 @ 26.3 — QPS tracks
-    # 1/iters exactly (encoder roofline). Round 3: dense routing (16384,
-    # fact 26) shortens the approach; re-find the >= .9 crossing.
-    measure(48, 32, None)
-    measure(48, 32, 32)
-    measure(48, 32, 28)
-    measure(48, 32, 24)
-    measure(48, 32, 20)
+    if len(sys.argv) > 1 and sys.argv[1] == "bs":
+        # Query-batch sweep at the recorded operating point (ef48/p32/i36).
+        # Two opposing forces: (a) the in-loop encoder batch is bs x
+        # promote_width — at bs=64 that is 2048, deep past the measured MFU
+        # cliff (BENCH_ENCODER attn_impl_sweep: 32.5% at 64 vs 19.8% at
+        # 1024+); (b) the lockstep while_loop runs to the slowest query in
+        # the batch (fact 23), so smaller batches also waste fewer
+        # straggler hops — against per-batch fixed dispatch costs (fact 15,
+        # measured at 1M stored, not here).
+        for bs in (64, 32, 16, 8):
+            measure(48, 32, 36, bs=bs)
+    else:
+        # Rounds 1-2 (git log, routing=1024): default cap 40 = .9242 @ 18.6;
+        # i36 .9191 @ 20.6; i32 .9086 @ 23.3; i28 .8965 @ 26.3 — QPS tracks
+        # 1/iters exactly (encoder roofline). Round 3: dense routing (16384,
+        # fact 26) shortens the approach; re-find the >= .9 crossing.
+        measure(48, 32, None)
+        measure(48, 32, 32)
+        measure(48, 32, 28)
+        measure(48, 32, 24)
+        measure(48, 32, 20)
     print(json.dumps(out))
 
 

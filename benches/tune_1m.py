@@ -210,6 +210,18 @@ def run(tag, dims, efc, mult, wave=4096, refine=0, slack=None):
         measure(32, 4096, max_iters=14, label="r65536_i14")
         measure(32, 4096, promote=64, max_iters=10, label="p64_r65536_i10")
         measure(32, 4096, label="uncapped")
+    elif tag == "P":
+        # Lower-cap frontier on the ADOPTED dims=48/slack=20 build (tag O:
+        # p64/i10 = .9847 @ 42.0k — .085 of gate margin to spend). Same
+        # wide-promote/low-cap asymmetry as fact 28; promote stays <= 96
+        # (fact 28 compile wedge).
+        searcher = StoredSearcher(graph, x, metric, sketch=sketch,
+                                  routing_size=65536)
+        measure(32, 4096, promote=64, max_iters=8, label="p64_i8")
+        measure(32, 4096, promote=64, max_iters=6, label="p64_i6")
+        measure(32, 4096, promote=96, max_iters=8, label="p96_i8")
+        measure(32, 4096, promote=48, max_iters=8, label="p48_i8")
+        measure(32, 4096, promote=64, max_iters=12, label="p64_i12")
     else:
         measure(32, 2048)
         measure(24, 2048)
@@ -226,6 +238,6 @@ if __name__ == "__main__":
             "I": (32, 64, 2, 4096, 0), "J": (32, 64, 2, 4096, 0),
             "K": (32, 64, 2, 4096, 0), "L": (32, 64, 2, 4096, 0),
             "M": (32, 64, 2, 4096, 0), "N": (32, 64, 2, 4096, 0),
-            "O": (48, 64, 2, 4096, 0, 20)}
+            "O": (48, 64, 2, 4096, 0, 20), "P": (48, 64, 2, 4096, 0, 20)}
     spec = cfgs[tag]
     run(tag, *spec)

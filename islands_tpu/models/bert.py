@@ -65,8 +65,15 @@ class BertConfig:
 
     @staticmethod
     def minilm_l6() -> "BertConfig":
-        """all-MiniLM-L6-v2 (reference preset: candle_provider.rs:41-117, 384-d)."""
-        return BertConfig()
+        """all-MiniLM-L6-v2 (reference preset: candle_provider.rs:41-117, 384-d).
+
+        attn_impl="dtl": at head_dim 32 the [B, L, H, D] q/k views tile-pad
+        ~5x, so the lane-sized [B, H, D, L] layout wins the measured
+        head-to-head (BENCH_ENCODER.json attn_impl_sweep: 33.2% vs 32.5%
+        MFU at batch 64; a wash at batch 1024 where the score tensor
+        dominates traffic). bge-base (head_dim 64) measured a wash — it
+        keeps the default."""
+        return BertConfig(attn_impl="dtl")
 
     @staticmethod
     def minilm_l12() -> "BertConfig":
