@@ -147,14 +147,18 @@ def main():
     _RESULT["baseline_source"] = "measured" if measured else "estimated"
 
     metric = DistanceMetric.EUCLIDEAN
-    # Paper graph degree (m0=60); 32-d sketches (halved JL noise vs the
-    # 16-d default) pay off at 1M-scale neighbor density for construction
-    # candidate quality and the gated query path. ef_construction=64: with
-    # the 2x over-provisioned exact-rescored pool (sketch_pool_mult) the
-    # effective candidate set is 128, and 1M-scale recall measured equal to
-    # efc=128 at 1.4x the build throughput.
+    # Paper graph degree (m0=60); 48-d sketches at reverse_slack=20: the
+    # build HBM peak scales with bw*dims (bw = m0 + slack), so trimming
+    # slack 60 -> 20 fits the higher-fidelity sketches in the footprint of
+    # the old dims=32/bw=120 config — and builds FASTER (waves scale with
+    # bw) with recall up at every capped rung (design.md §17, tune_1m tags
+    # O/P: ef32/i16 .9736 vs .9099). ef_construction=64: with the 2x
+    # over-provisioned exact-rescored pool (sketch_pool_mult) the effective
+    # candidate set is 128, and 1M-scale recall measured equal to efc=128
+    # at 1.4x the build throughput.
     cfg = LeannConfig(
-        metric=metric, wave_size=4096, sketch_dims=32, ef_construction=64
+        metric=metric, wave_size=4096, sketch_dims=48, ef_construction=64,
+        reverse_slack=20,
     )
 
     log(f"corpus gen: {N}x{DIM}, {N_QUERIES} queries")
@@ -257,22 +261,24 @@ def main():
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H-N at 1Mx128).
+    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H-P at 1Mx128).
     # Three effects compose: (a) the batched while_loop runs until the
     # SLOWEST query in the batch converges, so capping max_iters trades
     # straggler tail recall for batch QPS; (b) dense routing (above)
     # shortens the approach so low caps keep recall; (c) promote_width is
-    # nearly QPS-free (block gathers amortize, CLAUDE.md fact 7) while
-    # iterations are the expensive unit, so wide-promote/low-cap dominates:
-    # 1. sketch@ef=32, p=64, max_iters=10: max-QPS (.9381 @ ~41.0k QPS).
-    # 2. sketch@ef=32, p=96, max_iters=12: recall-margin point
-    #    (.9793 @ ~31.4k) — measured if budget allows even after rung 1
+    # cheap (block gathers amortize, CLAUDE.md fact 7) while iterations
+    # are the expensive unit, so wide-promote/low-cap dominates. The
+    # dims=48/slack=20 build (design.md §17) moved the whole frontier:
+    # 1. sketch@ef=32, p=48, max_iters=8: max-QPS (.9432 @ ~51.8k QPS,
+    #    .043 gate margin).
+    # 2. sketch@ef=32, p=64, max_iters=10: recall-margin point
+    #    (.9847 @ ~42.0k) — measured if budget allows even after rung 1
     #    records, so the JSON carries both operating points in "rungs".
     # Fallback rungs only run if no tuned point clears TARGET_RECALL.
-    primary = [("sketch", 32, 64, 10), ("sketch", 32, 96, 12)]
+    primary = [("sketch", 32, 48, 8), ("sketch", 32, 64, 10)]
     fallback = [
-        ("sketch", 32, 64, 12), ("sketch", 32, 48, 14),
-        ("sketch", 32, None, 18), ("sketch", 32, None, None),
+        ("sketch", 32, 64, 12), ("sketch", 32, 96, 12),
+        ("sketch", 32, None, 16), ("sketch", 32, None, None),
         ("exact", 64, None, None), ("exact", 128, None, None),
     ]
     for gate, ef, promote, max_iters in primary:

@@ -46,7 +46,8 @@ def main():
                        gate="sketch", promote_width=promote,
                        max_iters=max_iters)
         qps = qn / (time.perf_counter() - t0)
-        label = f"ef{ef}_p{promote}_i{max_iters or 'def'}"
+        label = (f"ef{ef}_p{promote}_i{max_iters or 'def'}"
+                 + (f"_b{bs}" if bs != 64 else ""))
         out[label] = {"recall": round(rec, 4), "qps": round(qps, 1),
                       "recompute_fraction": round(rf, 5) if rf else None}
         print(f"{label}: recall {rec:.4f}, {qps:.1f} QPS, rf {rf:.5f}",
