@@ -257,7 +257,8 @@ def cmd_query(args, cfg: Config) -> int:
     if idx.pq is not None and not args.exact:
         d, i = idx.search_two_level(q, k=args.top_k, provider=prov, ef=args.ef,
                                     promote_width=args.promote_width,
-                                    max_iters=args.max_iters)
+                                    max_iters=args.max_iters,
+                                    end_rerank=args.end_rerank)
     else:
         d, i = idx.search(q, k=args.top_k, provider=prov, ef=args.ef,
                           promote_width=args.promote_width,
@@ -293,7 +294,8 @@ def cmd_eval(args, cfg: Config) -> int:
         if idx.pq is not None and not args.exact:
             return idx.search_two_level(q, k=k, provider=prov, ef=args.ef,
                                         promote_width=args.promote_width,
-                                        max_iters=args.max_iters)
+                                        max_iters=args.max_iters,
+                                        end_rerank=args.end_rerank)
         return idx.search(q, k=k, provider=prov, ef=args.ef,
                           promote_width=args.promote_width,
                           max_iters=args.max_iters)
@@ -407,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-iters", type=int, default=None,
                     help="hop-iteration cap (QPS/tail-recall knob, "
                          "design.md #13)")
+    sp.add_argument("--end-rerank", action="store_true",
+                    help="PQ two-level: pure-ADC hops + one final ef-wide "
+                         "exact rescore (design.md #16)")
     sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("eval", help="recall/QPS eval vs brute force")
@@ -421,6 +426,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-iters", type=int, default=None,
                     help="hop-iteration cap (QPS/tail-recall knob, "
                          "design.md #13)")
+    sp.add_argument("--end-rerank", action="store_true",
+                    help="PQ two-level: pure-ADC hops + one final ef-wide "
+                         "exact rescore (design.md #16)")
     sp.set_defaults(fn=cmd_eval)
 
     return p

@@ -331,12 +331,17 @@ class LeannIndex:
         aq_width: int | None = None,
         promote_width: int | None = None,
         max_iters: int | None = None,
+        end_rerank: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-level search: PQ-ADC approximate queue gates which candidates
         get exact (recomputed) scoring (docs/leann-specification.md:223-271).
         Requires `build(..., with_pq=...)`. Sets `last_recompute_fraction` to
         exact-scored / num_nodes (the metric the reference dead-codes at
-        leann.rs:974-981)."""
+        leann.rs:974-981).
+
+        `end_rerank=True` runs the hop loop pure-ADC and exact-rescores the
+        ef-wide pool ONCE at the end — ef exact scores/query instead of
+        promote_width*hops (the 768-d bandwidth lever, design.md §16)."""
         graph = self._require_graph()
         if self.pq is None or self.pq_codes is None:
             raise IndexNotBuilt("two-level search requires PQ (build with with_pq=)")
@@ -371,6 +376,7 @@ class LeannIndex:
             prep_fn=gated_prep_for(self.config.metric),
             ef=ef, aq_width=aq_width, promote_width=promote_width,
             expand_width=expand_width, max_iters=max_iters,
+            promote_exact=not end_rerank,
         )
         self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])

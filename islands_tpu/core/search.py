@@ -663,9 +663,17 @@ def _search_one_two_level(
     promote_width: int,
     expand_width: int,
     max_iters: int,
+    promote_exact: bool = True,
 ) -> tuple[Array, Array, Array]:
     """Two-level PQ-gated search (spec Algorithm 2,
     docs/leann-specification.md:223-271) for a single query.
+
+    With `promote_exact=False` the hop loop runs pure-ADC — promotion
+    moves the best AQ entries into the pool at their approximate
+    distances, no per-hop exact scoring — and the final ef-wide pool is
+    exact-rescored ONCE after the loop (the sketch gate's structure,
+    design.md §16: one rescore of ef candidates instead of
+    promote_width*hops, the 768-d bandwidth lever).
 
     Neighbors discovered each hop are scored with the cheap approximate
     scorer — PQ-ADC over `nbr_codes`, the INLINE neighbor-code blocks
@@ -760,10 +768,15 @@ def _search_one_two_level(
         aq_dists = aq_d[promote_width : promote_width + aq_width]
         aq_ids = aq_i[promote_width : promote_width + aq_width]
 
-        d_exact = exact_scorer(
-            exact_ctx, q, jnp.where(prom_valid, prom_ids, 0), prom_valid
-        )
-        n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
+        if promote_exact:
+            d_exact = exact_scorer(
+                exact_ctx, q, jnp.where(prom_valid, prom_ids, 0), prom_valid
+            )
+            n_exact = n_exact + jnp.sum(prom_valid.astype(jnp.int32))
+        else:
+            # Pure-ADC hop: the AQ head enters the pool at its approximate
+            # distance; exact scoring happens once, after the loop.
+            d_exact = jnp.where(prom_valid, aq_d[:promote_width], _INF)
 
         prom_code = pack_id_expanded(
             jnp.where(prom_valid, prom_ids, SENTINEL), ~prom_valid
@@ -775,7 +788,16 @@ def _search_one_two_level(
 
     state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
     pool_dists, pool_code, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
-    return pool_dists, pool_code >> 1, n_exact
+    pool_ids = pool_code >> 1
+    if not promote_exact:
+        # One exact rescore of the pooled ef candidates (ef exact
+        # scores/query total, vs promote_width*hops in promote_exact mode).
+        valid = pool_dists < _INF
+        d_re = exact_scorer(exact_ctx, q, jnp.where(valid, pool_ids, 0), valid)
+        d_re = jnp.where(valid, d_re, _INF)
+        pool_dists, pool_ids = jax.lax.sort((d_re, pool_ids), num_keys=1)
+        n_exact = n_exact + jnp.sum(valid.astype(jnp.int32))
+    return pool_dists, pool_ids, n_exact
 
 
 # ---------------------------------------------------------------------------
@@ -822,7 +844,7 @@ def batched_search(
     jax.jit,
     static_argnames=(
         "exact_scorer", "approx_scorer", "prep_fn", "ef", "aq_width",
-        "promote_width", "expand_width", "max_iters",
+        "promote_width", "expand_width", "max_iters", "promote_exact",
     ),
 )
 def batched_two_level_search(
@@ -841,11 +863,14 @@ def batched_two_level_search(
     promote_width: int,
     expand_width: int = 4,
     max_iters: int = 100,
+    promote_exact: bool = True,
 ) -> tuple[Array, Array, Array]:
     """Two-level batched search over inline neighbor-code blocks
     (`nbr_codes` [N, m0*S] u8, pq.build_inline_codes; `approx_scorer` from
     pq.gated_block_scorer_for). `prep_fn(prep_ctx, qp) -> tables [B, ...]`
-    builds the per-query ADC tables inside the same jit."""
+    builds the per-query ADC tables inside the same jit. With
+    `promote_exact=False` the hop loop is pure-ADC and the ef pool is
+    exact-rescored once at the end (see _search_one_two_level)."""
     tables = prep_fn(prep_ctx, qp)
     search = functools.partial(
         _search_one_two_level,
@@ -858,6 +883,7 @@ def batched_two_level_search(
         promote_width=promote_width,
         expand_width=expand_width,
         max_iters=max_iters,
+        promote_exact=promote_exact,
     )
     return jax.vmap(lambda q, t: search(q, t, exact_ctx, nbr_codes))(qp, tables)
 

@@ -202,6 +202,29 @@ class TestTwoLevelSearch:
         assert built.last_recompute_fraction < 0.8
         assert np.all(np.diff(d, axis=1) >= -1e-6)
 
+    def test_end_rerank_recall_and_exactness(self, built, corpus, provider):
+        # Pure-ADC hop loop + one final ef-wide exact rescore (design.md
+        # §16): recall holds and returned distances are still exact.
+        q = make_vectors(32, DIM, seed=21)
+        true_ids = true_topk(q, corpus, 10)
+        d, ids = built.search_two_level(
+            q, k=10, provider=provider, ef=96, rerank_ratio=0.15,
+            end_rerank=True,
+        )
+        r = mean_recall(ids, true_ids)
+        assert r >= 0.8, r
+        # Exactly ef + 1 exact scores per query (entry + final rescore of
+        # a full finite pool), far below the per-hop promotion budget.
+        assert built.last_recompute_fraction is not None
+        assert built.last_recompute_fraction <= (96 + 1) / built.num_nodes + 1e-9
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        xn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        for j in range(10):
+            if ids[0, j] < 0:
+                continue
+            true_d = 1.0 - float(np.dot(qn[0], xn[ids[0, j]]))
+            assert abs(d[0, j] - true_d) < 1e-4
+
     def test_results_have_exact_distances(self, built, corpus, provider):
         # Returned distances must be exact (recomputed), not PQ-approximate.
         q = make_vectors(4, DIM, seed=33)
