@@ -206,6 +206,21 @@ class LeannIndex:
             self._nbr_codes_key = key
         return self._nbr_codes
 
+    def _routing_sample(self, routing_size: int):
+        """Seeded routing-id sample for the two-level path (cached per
+        size); independent of the sketch routing set (_init_routing)."""
+        n = self.num_nodes
+        size = min(routing_size, n)
+        cached = getattr(self, "_tl_routing", None)
+        if cached is None:
+            cached = self._tl_routing = {}
+        if size not in cached:
+            rng = np.random.default_rng(self.config.seed)
+            cached[size] = jnp.asarray(
+                rng.integers(0, n, size=size), dtype=jnp.int32
+            )
+        return cached[size]
+
     def _init_routing(self) -> None:
         n = self.graph.num_nodes if self.graph is not None else 0
         if self.sketch is not None and n > 0:
@@ -332,6 +347,7 @@ class LeannIndex:
         promote_width: int | None = None,
         max_iters: int | None = None,
         end_rerank: bool = False,
+        routing_size: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-level search: PQ-ADC approximate queue gates which candidates
         get exact (recomputed) scoring (docs/leann-specification.md:223-271).
@@ -341,7 +357,14 @@ class LeannIndex:
 
         `end_rerank=True` runs the hop loop pure-ADC and exact-rescores the
         ef-wide pool ONCE at the end — ef exact scores/query instead of
-        promote_width*hops (the 768-d bandwidth lever, design.md §16)."""
+        promote_width*hops (the 768-d bandwidth lever, design.md §16).
+
+        `routing_size=R` starts each query at the nearest of R sampled
+        nodes by exact distance (one R-row provider fetch + one [B, R]
+        matmul per batch, search.route_entries_embed) instead of the
+        global entry — fact 26's approach-phase lever, letting low
+        max_iters caps keep recall. Size R to the provider: a block
+        gather for stored embeddings, a recompute batch otherwise."""
         graph = self._require_graph()
         if self.pq is None or self.pq_codes is None:
             raise IndexNotBuilt("two-level search requires PQ (build with with_pq=)")
@@ -367,10 +390,18 @@ class LeannIndex:
 
         exact = make_recompute_scorer(provider.embed_fn, self.config.metric)
         qp = dist_ops.prep_query(q, self.config.metric)
+        entries = graph.entry_point
+        if routing_size is not None and routing_size > 0:
+            from islands_tpu.core.search import route_entries_embed
+
+            entries = route_entries_embed(
+                q, provider.embed_ctx, self._routing_sample(routing_size),
+                embed_fn=provider.embed_fn, metric=self.config.metric,
+            )
         dists, ids, n_exact = batched_two_level_search(
             qp, provider.embed_ctx, self._inline_codes(),
             self.pq.codebook.centroids,
-            graph.neighbors, graph.entry_point,
+            graph.neighbors, entries,
             exact_scorer=exact,
             approx_scorer=gated_block_scorer_for(self.config.metric),
             prep_fn=gated_prep_for(self.config.metric),

@@ -648,6 +648,29 @@ def route_entries(
     return routing_ids[jnp.argmin(d, axis=1)].astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("embed_fn", "metric"))
+def route_entries_embed(
+    q: Array,
+    embed_ctx,
+    routing_ids: Array,
+    *,
+    embed_fn,
+    metric: DistanceMetric,
+) -> Array:
+    """Per-query entry points by EXACT distance to a routing subsample —
+    fact 26's dense-routing lever for the two-level PQ path, which has no
+    sketches to route on (design.md §16).
+
+    One [R]-row fetch through the provider (a block gather for stored
+    embeddings; a recompute batch otherwise — size routing_size to the
+    provider's cost) then a single [B, R] MXU matmul. Raw (unprepped)
+    queries; pairwise_distance preps internally.
+    """
+    rows = embed_fn(embed_ctx, routing_ids.astype(jnp.int32))
+    d = dist_ops.pairwise_distance(q, rows, metric)
+    return routing_ids[jnp.argmin(d, axis=1)].astype(jnp.int32)
+
+
 def _search_one_two_level(
     q: Array,
     tables: Array,
@@ -870,12 +893,13 @@ def batched_two_level_search(
     pq.gated_block_scorer_for). `prep_fn(prep_ctx, qp) -> tables [B, ...]`
     builds the per-query ADC tables inside the same jit. With
     `promote_exact=False` the hop loop is pure-ADC and the ef pool is
-    exact-rescored once at the end (see _search_one_two_level)."""
+    exact-rescored once at the end (see _search_one_two_level).
+    `entry_point` may be a scalar (shared) or a [B] array (per-query
+    routed entries, route_entries_embed)."""
     tables = prep_fn(prep_ctx, qp)
     search = functools.partial(
         _search_one_two_level,
         neighbors=neighbors,
-        entry_point=entry_point,
         exact_scorer=exact_scorer,
         approx_scorer=approx_scorer,
         ef=ef,
@@ -885,7 +909,14 @@ def batched_two_level_search(
         max_iters=max_iters,
         promote_exact=promote_exact,
     )
-    return jax.vmap(lambda q, t: search(q, t, exact_ctx, nbr_codes))(qp, tables)
+    if jnp.ndim(entry_point) == 0:
+        return jax.vmap(
+            lambda q, t: search(q, t, exact_ctx, nbr_codes,
+                                entry_point=entry_point)
+        )(qp, tables)
+    return jax.vmap(
+        lambda q, t, e: search(q, t, exact_ctx, nbr_codes, entry_point=e)
+    )(qp, tables, entry_point)
 
 
 def default_max_iters(ef: int, expand_width: int) -> int:

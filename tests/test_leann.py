@@ -202,6 +202,17 @@ class TestTwoLevelSearch:
         assert built.last_recompute_fraction < 0.8
         assert np.all(np.diff(d, axis=1) >= -1e-6)
 
+    def test_routing_entries(self, built, corpus, provider):
+        # Per-query routed entries (route_entries_embed): recall holds with
+        # the approach phase shortcut and a capped iteration budget.
+        q = make_vectors(32, DIM, seed=21)
+        true_ids = true_topk(q, corpus, 10)
+        _, ids = built.search_two_level(
+            q, k=10, provider=provider, ef=96, rerank_ratio=0.15,
+            routing_size=256,
+        )
+        assert mean_recall(ids, true_ids) >= 0.8
+
     def test_end_rerank_recall_and_exactness(self, built, corpus, provider):
         # Pure-ADC hop loop + one final ef-wide exact rescore (design.md
         # §16): recall holds and returned distances are still exact.
