@@ -271,24 +271,28 @@ def config4_pq_1m_768():
 
     idx, provider, q, true_ids, build_s = config4_setup()
     N, DIM, NQ = 1_000_000, 768, int(q.shape[0])
-    # Tuned operating point (benches/twolevel_iters.py cap sweep): ef=128
-    # with max_iters=32 — .9219 @ 481 QPS vs .9535 @ 262 at the default
-    # cap. Falls back up the ladder if the tuned point misses the gate.
+    # Tuned operating point (benches/twolevel_routing.py): routed entries
+    # (route_entries_embed, r=65536) + ef=128/i16 — .9207 @ 2,717 QPS vs
+    # the unrouted i32 control .9195 @ ~1.9k. Ladder walks up the recall
+    # margin (i24 .9416 @ 2.4k, i32 .9529 @ 2.1k) then the unrouted
+    # legacy points if the tuned rung misses the gate.
     chosen = None
-    for ef, mi in ((128, 32), (128, 40), (128, None), (192, None),
-                   (256, None)):
+    for ef, mi, rs in ((128, 16, 65536), (128, 24, 65536), (128, 32, 65536),
+                       (128, 32, None), (128, None, None), (256, None, None)):
         _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider,
-                                      ef=ef, rerank_ratio=0.25, max_iters=mi)
+                                      ef=ef, rerank_ratio=0.25, max_iters=mi,
+                                      routing_size=rs)
         rec = _recall(np.asarray(ids), true_ids)
         if rec >= 0.9:
-            chosen = (ef, mi, rec)
+            chosen = (ef, mi, rs, rec)
             break
     if chosen is None:
-        chosen = (ef, mi, rec)
-    ef, mi, rec = chosen
+        chosen = (ef, mi, rs, rec)
+    ef, mi, rs, rec = chosen
     t0 = time.perf_counter()
     d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider,
-                                   ef=ef, rerank_ratio=0.25, max_iters=mi)
+                                   ef=ef, rerank_ratio=0.25, max_iters=mi,
+                                   routing_size=rs)
     qps = NQ / (time.perf_counter() - t0)
     out = {
         "metric": "config4_pq_two_level_1Mx768",
@@ -297,6 +301,7 @@ def config4_pq_1m_768():
         "qps": round(qps, 1),
         "ef": ef,
         "max_iters": mi,
+        "routing_size": rs,
         "build_seconds": round(build_s, 2),
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / N, 1),
