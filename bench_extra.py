@@ -218,7 +218,7 @@ def config3_recompute_100k():
     return out
 
 
-def config4_setup():
+def config4_setup(nq: int = 512):
     """Build the config-4 workload: 1M x 768-d Gaussian-mixture corpus,
     LEANN graph + 16-subquantizer PQ. Returns (idx, provider, q, true_ids,
     build_s). Shared with benches/twolevel_iters.py."""
@@ -230,7 +230,7 @@ def config4_setup():
     from islands_tpu.core.leann import LeannIndex
     from islands_tpu.ops import distance as dist_ops
 
-    N, DIM, NQ = 1_000_000, 768, 512
+    N, DIM, NQ = 1_000_000, 768, nq
     key = jax.random.PRNGKey(1)
     kc, ka, kn, kq, kqa = jax.random.split(key, 5)
     ncent = 4096
