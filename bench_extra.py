@@ -269,13 +269,14 @@ def config4_pq_1m_768():
     from islands_tpu.core.leann import LeannIndex
     from islands_tpu.ops import distance as dist_ops
 
-    idx, provider, q, true_ids, build_s = config4_setup()
+    idx, provider, q, true_ids, build_s = config4_setup(nq=4096)
     N, DIM, NQ = 1_000_000, 768, int(q.shape[0])
-    # Tuned operating point (benches/twolevel_routing.py): routed entries
-    # (route_entries_embed, r=65536) + ef=128/i16 — .9207 @ 2,717 QPS vs
-    # the unrouted i32 control .9195 @ ~1.9k. Ladder walks up the recall
-    # margin (i24 .9416 @ 2.4k, i32 .9529 @ 2.1k) then the unrouted
-    # legacy points if the tuned rung misses the gate.
+    # Tuned operating point (benches/twolevel_routing.py + _batch.py):
+    # routed entries (route_entries_embed, r=65536) + ef=128/i16 at query
+    # batch 4096 — .9293 @ 3,996 QPS (6.0x the measured 768-d baseline);
+    # the routing + per-batch fixed costs amortize past nq=2048 (fact
+    # 15). Ladder walks up the recall margin (i24 .9469 @ 3.4k) then the
+    # unrouted legacy points if the tuned rung misses the gate.
     chosen = None
     for ef, mi, rs in ((128, 16, 65536), (128, 24, 65536), (128, 32, 65536),
                        (128, 32, None), (128, None, None), (256, None, None)):
