@@ -271,29 +271,32 @@ def config4_pq_1m_768():
 
     idx, provider, q, true_ids, build_s = config4_setup(nq=4096)
     N, DIM, NQ = 1_000_000, 768, int(q.shape[0])
-    # Tuned operating point (benches/twolevel_routing.py + _batch.py):
-    # routed entries (route_entries_embed, r=65536) + ef=128/i16 at query
-    # batch 4096 — .9293 @ 3,996 QPS (6.0x the measured 768-d baseline);
-    # the routing + per-batch fixed costs amortize past nq=2048 (fact
-    # 15). Ladder walks up the recall margin (i24 .9469 @ 3.4k) then the
-    # unrouted legacy points if the tuned rung misses the gate.
+    # Tuned operating point (benches/twolevel_routing.py + _batch.py +
+    # _expand.py): routed entries (r=65536), expand_width=2, ef=128/i20
+    # at query batch 4096 — .9353 @ 4,936 QPS (7.4x the measured 768-d
+    # baseline). Narrow expansion halves the per-hop candidate count em
+    # (the hop-machinery cost) and routing keeps capped recall; batch
+    # >= 2048 amortizes per-batch fixed costs (fact 15). Ladder walks up
+    # the recall margin (x2/i24 .9470 @ 4.4k) then the legacy points if
+    # the tuned rung misses the gate.
     chosen = None
-    for ef, mi, rs in ((128, 16, 65536), (128, 24, 65536), (128, 32, 65536),
-                       (128, 32, None), (128, None, None), (256, None, None)):
+    for ef, mi, rs, xw in ((128, 20, 65536, 2), (128, 24, 65536, 2),
+                           (128, 24, 65536, 4), (128, 32, 65536, 4),
+                           (128, 32, None, 4), (256, None, None, 4)):
         _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider,
                                       ef=ef, rerank_ratio=0.25, max_iters=mi,
-                                      routing_size=rs)
+                                      routing_size=rs, expand_width=xw)
         rec = _recall(np.asarray(ids), true_ids)
         if rec >= 0.9:
-            chosen = (ef, mi, rs, rec)
+            chosen = (ef, mi, rs, xw, rec)
             break
     if chosen is None:
-        chosen = (ef, mi, rs, rec)
-    ef, mi, rs, rec = chosen
+        chosen = (ef, mi, rs, xw, rec)
+    ef, mi, rs, xw, rec = chosen
     t0 = time.perf_counter()
     d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider,
                                    ef=ef, rerank_ratio=0.25, max_iters=mi,
-                                   routing_size=rs)
+                                   routing_size=rs, expand_width=xw)
     qps = NQ / (time.perf_counter() - t0)
     out = {
         "metric": "config4_pq_two_level_1Mx768",
@@ -303,6 +306,7 @@ def config4_pq_1m_768():
         "ef": ef,
         "max_iters": mi,
         "routing_size": rs,
+        "expand_width": xw,
         "build_seconds": round(build_s, 2),
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / N, 1),

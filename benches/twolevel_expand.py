@@ -30,13 +30,14 @@ def main() -> None:
           flush=True)
 
     points = [
-        # (ef, max_iters, expand_width) at routing 65536, batch 4096
-        (128, 16, 4),   # control = adopted rung
-        (128, 16, 2),
-        (128, 20, 2),
-        (128, 24, 2),
-        (128, 16, 3),
-        (128, 20, 3),
+        # (ef, max_iters, expand_width) at routing 65536, batch 4096.
+        # Round-4 first pass: x2 dominates x3/x4 (x2/i20 .9353 @ 4,936 vs
+        # x4/i16 .9293 @ 3,915). Second pass probes x1 and the i18 rung.
+        (128, 20, 2),   # control = adopted rung
+        (128, 18, 2),
+        (128, 24, 1),
+        (128, 32, 1),
+        (128, 40, 1),
     ]
     for ef, mi, xw in points:
         _, ids = idx.search_two_level(q, k=10, provider=provider, ef=ef,
