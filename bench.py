@@ -213,11 +213,11 @@ def main():
     searcher = StoredSearcher(graph, x, metric, sketch=sketch,
                               routing_size=65536)
 
-    def run(ef, gate, promote=None, max_iters=None):
+    def run(ef, gate, promote=None, max_iters=None, xw=4):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
-                queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
+                queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=xw,
                 gate=gate, promote_width=promote, max_iters=max_iters,
             )
             ids_all.append(np.asarray(ids))
@@ -231,21 +231,22 @@ def main():
             ])
         )
 
-    def timed(ef, gate, promote=None, max_iters=None, reps=5):
+    def timed(ef, gate, promote=None, max_iters=None, reps=5, xw=4):
         t0 = time.perf_counter()
         for _ in range(reps):
             for s in range(0, N_QUERIES, QUERY_BATCH):
                 d, i = searcher.search(
-                    queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=4,
+                    queries[s : s + QUERY_BATCH], k=10, ef=ef,
+                    expand_width=xw,
                     gate=gate, promote_width=promote, max_iters=max_iters,
                 )
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    def record(qps, ef, gate, rec, promote=None, max_iters=None):
+    def record(qps, ef, gate, rec, promote=None, max_iters=None, xw=4):
         _RESULT.setdefault("rungs", []).append({
             "gate": gate, "ef": ef, "promote": promote,
-            "max_iters": max_iters,
+            "max_iters": max_iters, "expand_width": xw,
             "recall": round(rec, 4), "qps": round(qps, 1),
         })
         if qps > _RESULT["value"]:
@@ -269,41 +270,45 @@ def main():
     # cheap (block gathers amortize, CLAUDE.md fact 7) while iterations
     # are the expensive unit, so wide-promote/low-cap dominates. The
     # dims=48/slack=20 build (design.md §17) moved the whole frontier:
-    # 1. sketch@ef=32, p=48, max_iters=8: max-QPS (.9432 @ ~51.8k QPS,
-    #    .043 gate margin).
-    # 2. sketch@ef=32, p=64, max_iters=10: recall-margin point
-    #    (.9847 @ ~42.0k) — measured if budget allows even after rung 1
-    #    records, so the JSON carries both operating points in "rungs".
-    # Fallback rungs only run if no tuned point clears TARGET_RECALL.
-    primary = [("sketch", 32, 48, 8), ("sketch", 32, 64, 10)]
+    # 1. sketch@ef=32, p=48, i=8, x2: fast rung (benches/sketch_expand.py:
+    #    .918 @ ~81.5k — expand_width=2 halves the per-hop candidate
+    #    count; records only if it clears the gate on this build).
+    # 2. sketch@ef=32, p=48, max_iters=8: max-QPS margin rung (.9432 @
+    #    51.8-72.6k run to run, .043 gate margin).
+    # 3. sketch@ef=32, p=64, max_iters=10: recall-margin point
+    #    (.9847 @ ~42.0k) — measured if budget allows even after earlier
+    #    rungs record, so the JSON carries all operating points in
+    #    "rungs". Fallbacks only run if nothing clears TARGET_RECALL.
+    primary = [("sketch", 32, 48, 10, 2), ("sketch", 32, 48, 8, 4),
+               ("sketch", 32, 64, 10, 4)]
     fallback = [
-        ("sketch", 32, 64, 12), ("sketch", 32, 96, 12),
-        ("sketch", 32, None, 16), ("sketch", 32, None, None),
-        ("exact", 64, None, None), ("exact", 128, None, None),
+        ("sketch", 32, 64, 12, 4), ("sketch", 32, 96, 12, 4),
+        ("sketch", 32, None, 16, 4), ("sketch", 32, None, None, 4),
+        ("exact", 64, None, None, 4), ("exact", 128, None, None, 4),
     ]
-    for gate, ef, promote, max_iters in primary:
+    for gate, ef, promote, max_iters, xw in primary:
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
-        log(f"recall check: {gate}@ef={ef}/p={promote}/i={max_iters}")
-        rec = recall_of(run(ef, gate, promote, max_iters))
+        log(f"recall check: {gate}@ef={ef}/p={promote}/i={max_iters}/x={xw}")
+        rec = recall_of(run(ef, gate, promote, max_iters, xw))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate, promote, max_iters), ef, gate, rec,
-                   promote, max_iters)
+            record(timed(ef, gate, promote, max_iters, xw=xw), ef, gate,
+                   rec, promote, max_iters, xw)
 
-    for gate, ef, promote, max_iters in fallback:
+    for gate, ef, promote, max_iters, xw in fallback:
         if _RESULT["value"] > 0:
             break
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
         log(f"recall check: {gate}@ef={ef}/i={max_iters}")
-        rec = recall_of(run(ef, gate, promote, max_iters))
+        rec = recall_of(run(ef, gate, promote, max_iters, xw))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate, promote, max_iters), ef, gate, rec,
-                   promote, max_iters)
+            record(timed(ef, gate, promote, max_iters, xw=xw), ef, gate,
+                   rec, promote, max_iters, xw)
 
     if _RESULT["value"] == 0 and budget_left() > 90:
         # No rung reached target recall: report exact@256 honestly.
