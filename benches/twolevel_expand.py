@@ -31,13 +31,15 @@ def main() -> None:
 
     points = [
         # (ef, max_iters, expand_width) at routing 65536, batch 4096.
-        # Round-4 first pass: x2 dominates x3/x4 (x2/i20 .9353 @ 4,936 vs
-        # x4/i16 .9293 @ 3,915). Second pass probes x1 and the i18 rung.
+        # Pass 1: x2 dominates x3/x4 (x2/i20 .9353 @ 4,936 vs x4/i16
+        # .9293 @ 3,915). Pass 2: x1 a wash, i18 noisy-slow. Pass 3:
+        # sweep ef downward (pool/merge/rerank width) at the x2 rungs —
+        # ef=128 was tuned before routing/narrow-expand existed.
         (128, 20, 2),   # control = adopted rung
-        (128, 18, 2),
-        (128, 24, 1),
-        (128, 32, 1),
-        (128, 40, 1),
+        (96, 20, 2),
+        (96, 24, 2),
+        (64, 24, 2),
+        (64, 28, 2),
     ]
     for ef, mi, xw in points:
         _, ids = idx.search_two_level(q, k=10, provider=provider, ef=ef,
