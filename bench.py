@@ -270,17 +270,19 @@ def main():
     # cheap (block gathers amortize, CLAUDE.md fact 7) while iterations
     # are the expensive unit, so wide-promote/low-cap dominates. The
     # dims=48/slack=20 build (design.md §17) moved the whole frontier:
-    # 1. sketch@ef=32, p=48, i=8, x2: fast rung (benches/sketch_expand.py:
-    #    .918 @ ~81.5k — expand_width=2 halves the per-hop candidate
+    # 1. sketch@ef=32, p=48, i=10, x2: fast rung (benches/sketch_expand
+    #    .py: .918 @ ~81.5k — expand_width=2 halves the per-hop candidate
     #    count; records only if it clears the gate on this build).
-    # 2. sketch@ef=32, p=48, max_iters=8: max-QPS margin rung (.9432 @
+    # 2. sketch@ef=32, p=48, i=12, x2: margin rung (.9538 @ ~71.6k —
+    #    same QPS as the old x4/i8 primary with +.011 recall).
+    # 3. sketch@ef=32, p=48, max_iters=8, x4: round-4 primary (.9432 @
     #    51.8-72.6k run to run, .043 gate margin).
-    # 3. sketch@ef=32, p=64, max_iters=10: recall-margin point
+    # 4. sketch@ef=32, p=64, max_iters=10: recall-margin point
     #    (.9847 @ ~42.0k) — measured if budget allows even after earlier
     #    rungs record, so the JSON carries all operating points in
     #    "rungs". Fallbacks only run if nothing clears TARGET_RECALL.
-    primary = [("sketch", 32, 48, 10, 2), ("sketch", 32, 48, 8, 4),
-               ("sketch", 32, 64, 10, 4)]
+    primary = [("sketch", 32, 48, 10, 2), ("sketch", 32, 48, 12, 2),
+               ("sketch", 32, 48, 8, 4), ("sketch", 32, 64, 10, 4)]
     fallback = [
         ("sketch", 32, 64, 12, 4), ("sketch", 32, 96, 12, 4),
         ("sketch", 32, None, 16, 4), ("sketch", 32, None, None, 4),
