@@ -68,11 +68,11 @@ def main(dims: int = 24):
            "dim": dim, "sketch_dims": dims, "reverse_slack": 20,
            "build_s": round(build_s, 1), "build_vps": round(n / build_s, 0)}
 
-    def measure(ef, promote, mi, batch=2048):
+    def measure(ef, promote, mi, batch=2048, xw=4):
         ids_all = []
         for s in range(0, nq, batch):
             _, ids = searcher.search(queries[s:s + batch], k=10, ef=ef,
-                                     expand_width=4, gate="sketch",
+                                     expand_width=xw, gate="sketch",
                                      promote_width=promote, max_iters=mi)
             ids_all.append(np.asarray(ids))
         ids = np.concatenate(ids_all)
@@ -85,23 +85,23 @@ def main(dims: int = 24):
         for _ in range(reps):
             for s in range(0, nq, batch):
                 d, i = searcher.search(queries[s:s + batch], k=10, ef=ef,
-                                       expand_width=4, gate="sketch",
+                                       expand_width=xw, gate="sketch",
                                        promote_width=promote, max_iters=mi)
             jax.block_until_ready((d, i))
         qps = nq / ((time.perf_counter() - t0) / reps)
         label = f"ef{ef}" + (f"_p{promote}" if promote else "") + \
-            (f"_i{mi}" if mi else "")
+            (f"_i{mi}" if mi else "") + (f"_x{xw}" if xw != 4 else "")
         out[label] = {"recall": round(rec, 4), "qps": round(qps, 0)}
         print(f"[2M d{dims}] {label}: recall {rec:.4f}, {qps:.0f} QPS",
               file=sys.stderr, flush=True)
 
     # One doubling deeper than 1M: caps shift up ~2 hops. Ladder brackets
     # the 1M operating points (p48/i8 .9432, p64/i10 .9847 at 1M).
-    measure(32, 64, 12)
-    measure(32, 48, 10)
-    measure(32, 64, 10)
-    measure(32, 96, 12)
-    measure(32, None, 16)
+    measure(32, 64, 12)            # recorded .9223 @ 29.0k control
+    measure(32, 48, 14, xw=2)
+    measure(32, 64, 14, xw=2)
+    measure(32, 64, 16, xw=2)
+    measure(32, 48, 16, xw=2)
     print(json.dumps(out))
 
 
