@@ -97,11 +97,13 @@ def main(dims: int = 24):
 
     # One doubling deeper than 1M: caps shift up ~2 hops. Ladder brackets
     # the 1M operating points (p48/i8 .9432, p64/i10 .9847 at 1M).
-    measure(32, 64, 12)            # recorded .9223 @ 29.0k control
-    measure(32, 48, 14, xw=2)
-    measure(32, 64, 14, xw=2)
-    measure(32, 64, 16, xw=2)
-    measure(32, 48, 16, xw=2)
+    # Pass-2 note: p64 rungs (x4 i12 .8880; x2 best i16 .8862 @ 33.6k)
+    # all sit under the gate — the recorded 2M point is p96/i12 (promote
+    # width is the recall lever at 2M approach depth, fact 28).
+    measure(32, 96, 12)            # recorded .9223 @ 29.0k control
+    measure(32, 96, 14, xw=2)
+    measure(32, 96, 16, xw=2)
+    measure(32, 80, 16, xw=2)  # promote <= 96 ONLY (fact 28 wedge)
     print(json.dumps(out))
 
 
