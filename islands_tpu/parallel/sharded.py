@@ -540,7 +540,7 @@ class ArchipelagoSearcher:
         self._cache = _ARCHIPELAGO_CACHE
 
     def _make(self, k: int, ef: int, expand_width: int, max_iters: int,
-              gate: str):
+              gate: str, promote_width: int | None = None):
         idx = self.index
         mesh = idx.mesh
         metric = idx.metric
@@ -567,7 +567,7 @@ class ArchipelagoSearcher:
             )
 
         if gate == "sketch":
-            promote = max(8, min(2 * expand_width * 4, ef))
+            promote = promote_width or max(8, min(2 * expand_width * 4, ef))
 
             def local_fn(q, nbrs, entry, ctx, gids, count,
                          node_sk, nbr_sk, routing, w, scale):
@@ -694,9 +694,12 @@ class ArchipelagoSearcher:
         expand_width: int = 4,
         max_iters: int | None = None,
         gate: str = "auto",
+        promote_width: int | None = None,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]) with global ids.
-        B must be divisible by the mesh 'dp' axis size."""
+        B must be divisible by the mesh 'dp' axis size. `promote_width`
+        (sketch gate) caps per-hop exact scoring per shard — same knob as
+        StoredSearcher/LeannIndex (design.md #13)."""
         idx = self.index
         ef = max(ef, k)
         if gate == "auto":
@@ -709,7 +712,7 @@ class ArchipelagoSearcher:
             max_iters = idx.config.max_search_iters
         if max_iters is None:
             if gate == "sketch":
-                promote = max(8, min(2 * expand_width * 4, ef))
+                promote = promote_width or max(8, min(2 * expand_width * 4, ef))
                 max_iters = 8 * max(ef // promote, 1) + 32
             else:
                 max_iters = 4 * max(ef // max(expand_width, 1), 1) + 16
@@ -721,9 +724,11 @@ class ArchipelagoSearcher:
         # variant (extra sketch operands) when sketch state exists, and the
         # cache is shared across searcher instances.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
-               max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch)
+               max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch,
+               promote_width)
         if key not in self._cache:
-            self._cache[key] = self._make(k, ef, expand_width, max_iters, gate)
+            self._cache[key] = self._make(k, ef, expand_width, max_iters,
+                                          gate, promote_width)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
         if gate == "sketch":
             return self._cache[key](

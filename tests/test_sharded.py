@@ -302,3 +302,25 @@ def test_sharded_extend_after_load(tmp_path):
     assert idx2.config.m0 == cfg.m0
     idx3 = extend_sharded(idx2, x[512:])
     assert idx3.num_vectors == 512 + 64
+
+
+def test_sharded_promote_width_knob():
+    """promote_width plumbs through the sharded sketch gate (same knob as
+    StoredSearcher/LeannIndex); wider promotion must not hurt recall."""
+    n, dim, k = 1024, 32, 10
+    x = clustered(n, dim, seed=40)
+    q = clustered(32, dim, seed=41)
+    mesh = make_mesh(n_shards=4, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x, cfg, mesh, with_sketch=True)
+
+    s = ArchipelagoSearcher(idx)
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    tids = np.asarray(tids)
+    _, ids_n = s.search(q, k=k, ef=64, gate="sketch", max_iters=6)
+    _, ids_w = s.search(q, k=k, ef=64, gate="sketch", max_iters=6,
+                        promote_width=48)
+    r_n = _recall(np.asarray(ids_n), tids)
+    r_w = _recall(np.asarray(ids_w), tids)
+    assert r_w >= r_n - 0.02, (r_n, r_w)
+    assert r_w >= 0.8, r_w
