@@ -59,8 +59,10 @@ def main():
     n_total, dim, nq = 2_000_000, 128, 4096
     n_shard = n_total // 2
     metric = DistanceMetric.EUCLIDEAN
-    cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=32,
-                      ef_construction=64)
+    # Round-4 per-shard config = the adopted 1M operating point
+    # (dims=48 sketches at reverse_slack=20, design.md section 17).
+    cfg = LeannConfig(metric=metric, wave_size=4096, sketch_dims=48,
+                      ef_construction=64, reverse_slack=20)
 
     x, queries = make_bench_corpus(n_total, dim, nq)
     x = np.asarray(x)
@@ -106,8 +108,11 @@ def main():
     from islands_tpu.core.csr import CsrGraph
     from islands_tpu.ops.proj import SketchIndex
 
-    ef, promote, max_iters = 32, 64, 10
-    all_d, all_i, shard_qps = [], [], []
+    # Two per-shard operating points per round-4 fact 35: the round-4
+    # control (p64/i10/x4) and the narrow-expansion 1M rung (p48/i12/x2,
+    # .9538 @ ~71.6k at 1M single-index).
+    points = [(32, 64, 10, 4), (32, 48, 12, 2), (32, 48, 10, 2)]
+    acc = {pt: {"d": [], "i": [], "qps": []} for pt in points}
     for s in range(2):
         h = shards_host[s]
         graph = CsrGraph(
@@ -125,56 +130,72 @@ def main():
         xs = jnp.asarray(x[s * n_shard : (s + 1) * n_shard])
         searcher = StoredSearcher(graph, xs, metric, sketch=sketch,
                                   routing_size=65536)
-        # warm + recall pass
-        d, ids = searcher.search(queries_np, k=10, ef=ef,
-                                 promote_width=promote, max_iters=max_iters)
-        jax.block_until_ready((d, ids))
-        # timed pass
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        for ef, promote, max_iters, xw in points:
+            # warm + recall pass
             d, ids = searcher.search(queries_np, k=10, ef=ef,
+                                     expand_width=xw,
                                      promote_width=promote,
                                      max_iters=max_iters)
-        jax.block_until_ready((d, ids))
-        ts = (time.perf_counter() - t0) / reps
-        shard_qps.append(nq / ts)
-        print(f"shard {s} query {ts * 1e3:.0f} ms/batch "
-              f"({nq / ts:.0f} QPS solo)", file=sys.stderr, flush=True)
-        all_d.append(np.asarray(d))
-        all_i.append(np.asarray(ids) + s * n_shard)
+            jax.block_until_ready((d, ids))
+            # timed pass
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                d, ids = searcher.search(queries_np, k=10, ef=ef,
+                                         expand_width=xw,
+                                         promote_width=promote,
+                                         max_iters=max_iters)
+            jax.block_until_ready((d, ids))
+            ts = (time.perf_counter() - t0) / reps
+            a = acc[(ef, promote, max_iters, xw)]
+            a["qps"].append(nq / ts)
+            a["d"].append(np.asarray(d))
+            a["i"].append(np.asarray(ids) + s * n_shard)
+            print(f"shard {s} p{promote}/i{max_iters}/x{xw}: "
+                  f"{ts * 1e3:.0f} ms/batch ({nq / ts:.0f} QPS solo)",
+                  file=sys.stderr, flush=True)
         del graph, sketch, xs, searcher
 
-    # host k-merge by exact distance (search.rs:185-254 semantics)
-    d_cat = np.concatenate(all_d, axis=1)
-    i_cat = np.concatenate(all_i, axis=1)
-    order = np.argsort(d_cat, axis=1)[:, :10]
-    merged = np.take_along_axis(i_cat, order, axis=1)
-    rec = float(np.mean([
-        len(set(merged[i].tolist()) & set(gt[i].tolist())) / 10.0
-        for i in range(nq)
-    ]))
-    t_serial = sum(nq / q for q in shard_qps)
-    qps_serial = nq / t_serial
-    qps_mesh2 = nq / max(nq / q for q in shard_qps)
-    out = {
-        "n": n_total, "dim": dim, "shards": 2, "sketch_dims": 32,
-        "per_shard_n": n_shard,
-        "build_s_per_shard": [round(t, 1) for t in build_times],
-        "gate": f"sketch_ef{ef}_p{promote}_i{max_iters}_r65536",
-        "recall_vs_2m_gt": round(rec, 4),
-        "qps_one_chip_serialized": round(qps_serial, 1),
-        "qps_two_chip_projection": round(qps_mesh2, 1),
-        "per_shard_qps": [round(q, 1) for q in shard_qps],
-    }
-    print(json.dumps(out))
+    out = None
+    for ef, promote, max_iters, xw in points:
+        a = acc[(ef, promote, max_iters, xw)]
+        # host k-merge by exact distance (search.rs:185-254 semantics)
+        d_cat = np.concatenate(a["d"], axis=1)
+        i_cat = np.concatenate(a["i"], axis=1)
+        order = np.argsort(d_cat, axis=1)[:, :10]
+        merged = np.take_along_axis(i_cat, order, axis=1)
+        rec = float(np.mean([
+            len(set(merged[i].tolist()) & set(gt[i].tolist())) / 10.0
+            for i in range(nq)
+        ]))
+        shard_qps = a["qps"]
+        qps_serial = nq / sum(nq / q for q in shard_qps)
+        qps_mesh2 = nq / max(nq / q for q in shard_qps)
+        entry = {
+            "n": n_total, "dim": dim, "shards": 2, "sketch_dims": 48,
+            "reverse_slack": 20,
+            "per_shard_n": n_shard,
+            "build_s_per_shard": [round(t, 1) for t in build_times],
+            "gate": f"sketch_ef{ef}_p{promote}_i{max_iters}_x{xw}_r65536",
+            "recall_vs_2m_gt": round(rec, 4),
+            "qps_one_chip_serialized": round(qps_serial, 1),
+            "qps_two_chip_projection": round(qps_mesh2, 1),
+            "per_shard_qps": [round(q, 1) for q in shard_qps],
+        }
+        print(json.dumps(entry))
+        if rec >= 0.9 and (out is None
+                           or entry["qps_two_chip_projection"]
+                           > out["qps_two_chip_projection"]):
+            out = entry
+    if out is None:
+        out = entry
 
     bs_path = ROOT / "BENCH_SHARDED.json"
     if bs_path.exists():
         blob = json.loads(bs_path.read_text())
     else:
         blob = {}
-    blob["chip_2m_s2_dims32"] = out
+    blob["chip_2m_s2_dims48"] = out
     bs_path.write_text(json.dumps(blob, indent=1))
 
 
