@@ -218,10 +218,12 @@ def config3_recompute_100k():
     return out
 
 
-def config4_setup(nq: int = 512):
+def config4_setup(nq: int = 512, num_subquantizers: int = 16,
+                  num_centroids: int = 256):
     """Build the config-4 workload: 1M x 768-d Gaussian-mixture corpus,
-    LEANN graph + 16-subquantizer PQ. Returns (idx, provider, q, true_ids,
-    build_s). Shared with benches/twolevel_iters.py."""
+    LEANN graph + 16-subquantizer PQ (or a variant codebook geometry).
+    Returns (idx, provider, q, true_ids, build_s). Shared with
+    benches/twolevel_iters.py."""
     import jax
     import jax.numpy as jnp
 
@@ -248,7 +250,9 @@ def config4_setup(nq: int = 512):
     idx = LeannIndex(cfg)
     t0 = time.perf_counter()
     idx.build_from_embeddings(
-        x, with_pq=PQConfig(num_subquantizers=16, training_iterations=15, seed=0)
+        x, with_pq=PQConfig(num_subquantizers=num_subquantizers,
+                            num_centroids=num_centroids,
+                            training_iterations=15, seed=0)
     )
     jax.block_until_ready(idx.graph.neighbors)
     build_s = time.perf_counter() - t0
