@@ -50,22 +50,37 @@ def main() -> None:
         (128, 14, 2, 96),
         (128, 12, 2, 96),
     ]
+    # Resolve the same defaults search_two_level applies (leann.py:379-387)
+    # so the recorded JSON can't mislabel a rung: default promote is
+    # round(rerank_ratio * aq_width) with aq_width = max(ef, 64), and the
+    # runtime clamps promote_width to em = expand_width * max_degree.
+    rerank_ratio = 0.25
+    max_degree = int(idx.graph.max_degree)
     for ef, mi, xw, pw in points:
         assert pw is None or pw <= 96, "fact 28: promote > 96 wedges the chip"
+        em = xw * max_degree
+        resolved_pw = pw if pw is not None else max(
+            1, round(rerank_ratio * max(ef, 64)))
+        effective_pw = min(resolved_pw, em)
+        assert effective_pw == resolved_pw, (
+            f"promote_width {resolved_pw} clamps to {effective_pw} at "
+            f"expand_width={xw} (em={em}) — rung would be mislabeled")
         _, ids = idx.search_two_level(q, k=10, provider=provider, ef=ef,
-                                      rerank_ratio=0.25, max_iters=mi,
+                                      rerank_ratio=rerank_ratio, max_iters=mi,
                                       routing_size=65536, expand_width=xw,
                                       promote_width=pw)
         rec = _recall(np.asarray(ids), true_ids)
         t0 = time.perf_counter()
         idx.search_two_level(q, k=10, provider=provider, ef=ef,
-                             rerank_ratio=0.25, max_iters=mi,
+                             rerank_ratio=rerank_ratio, max_iters=mi,
                              routing_size=65536, expand_width=xw,
                              promote_width=pw)
         qps = nq / (time.perf_counter() - t0)
         print(json.dumps({
             "ef": ef, "max_iters": mi, "expand_width": xw,
-            "promote_width": pw or 32,
+            "promote_width": effective_pw,
+            "control": pw is None,
+            "below_gate": rec < 0.9,
             "recall_at_10": round(rec, 4), "qps": round(qps, 1),
         }), flush=True)
     print(f"[done {time.perf_counter() - t_all:7.1f}s]", flush=True)
