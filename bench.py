@@ -183,16 +183,27 @@ def main():
     jax.block_until_ready(graph.neighbors)
     build_s = time.perf_counter() - t0
     build_vps = N / build_s
-    bytes_per_vec = graph.storage_bytes() / N
+    # Two accountings (VERDICT r4 weak #4, the BASELINE "equal index size"
+    # clause). Storage-parity: the graph CSR alone (4 B/edge + offsets +
+    # levels) — the reference's on-disk layout (leann.rs:180-191, ~244 B at
+    # m0=60). This is a real persistence mode (storage.save_index
+    # persist_sketch=False): the sketch is deterministically re-derived at
+    # load from stored embeddings + graph + seed (one projection matmul;
+    # bit-identical, tests/test_storage.py), so every QPS rung below holds
+    # at reference-equal index size. The default accounting additionally
+    # charges the persisted sketch (node table + projection + scale; inline
+    # neighbor blocks always derive at load) for deployments that persist
+    # it to skip the load-time matmul.
+    parity_bytes = graph.storage_bytes() / N
+    bytes_per_vec = parity_bytes
     if sketch is not None:
-        # On-disk sketch cost: per-node packed sketch + projection + scale
-        # (inline neighbor blocks are derived at load time).
         bytes_per_vec += (4 * sketch.node_sketch.size + 4 * sketch.w.size + 4) / N
     _RESULT.update(
         build_seconds=round(build_s, 2),
         build_vectors_per_s=round(build_vps, 1),
         build_vs_baseline=round(build_vps / ref_build_vps, 2),
         index_bytes_per_vector=round(bytes_per_vec, 2),
+        index_bytes_per_vector_storage_parity=round(parity_bytes, 2),
         stage="built",
     )
     log(f"build {build_s:.1f}s = {build_vps:.0f} vec/s "
@@ -243,13 +254,28 @@ def main():
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    def record(qps, ef, gate, rec, promote=None, max_iters=None, xw=4):
+    def timed3(ef, gate, promote=None, max_iters=None, xw=4):
+        """Median-of-3 timings (each itself reps=5) so the recorded QPS is
+        robust to the ~1.5x session-to-session tunnel variance (CLAUDE.md
+        fact 35); the spread is recorded alongside the median."""
+        runs = sorted(
+            timed(ef, gate, promote, max_iters, xw=xw) for _ in range(3)
+        )
+        return runs[1], [round(r, 1) for r in runs]
+
+    # Headline rung needs .01 recall margin over the gate so QPS variance
+    # (not recall variance) is the only noise in the official number.
+    HEADLINE_MIN_RECALL = 0.91
+
+    def record(qps, ef, gate, rec, promote=None, max_iters=None, xw=4,
+               qps_runs=None):
         _RESULT.setdefault("rungs", []).append({
             "gate": gate, "ef": ef, "promote": promote,
             "max_iters": max_iters, "expand_width": xw,
             "recall": round(rec, 4), "qps": round(qps, 1),
+            **({"qps_runs": qps_runs} if qps_runs else {}),
         })
-        if qps > _RESULT["value"]:
+        if qps > _RESULT["value"] and rec >= HEADLINE_MIN_RECALL:
             _RESULT.update(
                 value=round(qps, 1),
                 vs_baseline=round(qps / ref_qps, 2),
@@ -259,6 +285,8 @@ def main():
                 promote=promote,
                 stage="query",
             )
+            if qps_runs:
+                _RESULT["qps_runs"] = qps_runs
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
@@ -296,8 +324,8 @@ def main():
         rec = recall_of(run(ef, gate, promote, max_iters, xw))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate, promote, max_iters, xw=xw), ef, gate,
-                   rec, promote, max_iters, xw)
+            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw)
+            record(qps, ef, gate, rec, promote, max_iters, xw, qps_runs=runs)
 
     for gate, ef, promote, max_iters, xw in fallback:
         if _RESULT["value"] > 0:
@@ -309,11 +337,12 @@ def main():
         rec = recall_of(run(ef, gate, promote, max_iters, xw))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            record(timed(ef, gate, promote, max_iters, xw=xw), ef, gate,
-                   rec, promote, max_iters, xw)
+            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw)
+            record(qps, ef, gate, rec, promote, max_iters, xw, qps_runs=runs)
 
     if _RESULT["value"] == 0 and budget_left() > 90:
-        # No rung reached target recall: report exact@256 honestly.
+        # No rung reached HEADLINE_MIN_RECALL: report exact@256 honestly
+        # (record() still requires >= .91; exact@256 measures ~.99).
         rec = recall_of(run(256, "exact"))
         record(timed(256, "exact"), 256, "exact", rec)
 

@@ -202,6 +202,7 @@ def config3_recompute_100k():
         qps = nq / (time.perf_counter() - t0)
         out[label] = {
             "recall_at_10": round(rec, 4),
+            **({"below_gate": True} if rec < 0.9 else {}),
             "qps": round(qps, 1),
             "ef": ef,
             "promote_width": promote,
@@ -306,6 +307,7 @@ def config4_pq_1m_768():
         "metric": "config4_pq_two_level_1Mx768",
         "n": N, "dim": DIM,
         "recall_at_10": round(rec, 4),
+        **({"below_gate": True} if rec < 0.9 else {}),
         "qps": round(qps, 1),
         "ef": ef,
         "max_iters": mi,

@@ -625,10 +625,21 @@ def wave_step(
 
 
 def _bucket_size(n: int) -> int:
-    """Next power of two >= n (floor 512): the structural padding bucket."""
+    """Structural padding bucket: next power of two >= n (floor 512), with
+    quarter steps (1.25/1.5/1.75x) above 2^20. Coarse buckets maximize
+    executable/cache sharing for the many small corpora; above 1M a full
+    doubling wastes HBM that decides build feasibility — a 1.25M shard
+    (config 5's 10M/8) padded to 2M carries 2.6 GB of dead nbr_sketch at
+    sketch_dims=48, the margin between fitting and RESOURCE_EXHAUSTED
+    (CLAUDE.md facts 16/33). 1M (2^20 bucket) and 2M (2^21) are unchanged."""
     b = 512
     while b < n:
         b *= 2
+    if b > (1 << 20):
+        for q in (4, 5, 6, 7):
+            step = (b // 8) * q
+            if n <= step:
+                return step
     return b
 
 

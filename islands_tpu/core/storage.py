@@ -319,10 +319,21 @@ def decode_sketch(data: bytes, neighbors):
 # ---------------------------------------------------------------------------
 
 
-def save_index(index, path: str | Path) -> int:
+def save_index(index, path: str | Path, persist_sketch: bool = True) -> int:
     """Serialize a LeannIndex (graph + optional PQ + config) to `path`.
     Returns bytes written — the real on-disk size (the 'index bytes/vector'
-    metric charges this file)."""
+    metric charges this file).
+
+    `persist_sketch=False` is storage-parity mode: the SKCH chunk is
+    skipped, bringing the file to the reference's CSR-only layout
+    (leann.rs:180-191, ~4 B/edge). The sketch is deterministically
+    re-derivable at load from stored embeddings + the loaded graph via
+    `ops.proj.build_sketch_index(x_prepped, graph.neighbors, proj_dims,
+    seed)` — the construction-time sketch uses the identical recipe
+    (build.py:686-695: make_projection(config.seed) -> fit_scale over the
+    corpus -> quantize_pack), so the re-derived gate searches the same
+    index (tests/test_storage.py::test_storage_parity_sketch_rederivation).
+    """
     import dataclasses as dc
 
     from islands_tpu.core.config import LeannConfig
@@ -348,7 +359,7 @@ def save_index(index, path: str | Path) -> int:
     if index.pq is not None and index.pq_codes is not None:
         w.write_chunk(b"PQCB", encode_pq_codebook(np.asarray(index.pq.codebook.centroids)))
         w.write_chunk(b"PQCD", encode_pq_codes(np.asarray(index.pq_codes)))
-    if getattr(index, "sketch", None) is not None:
+    if persist_sketch and getattr(index, "sketch", None) is not None:
         w.write_chunk(b"SKCH", encode_sketch(index.sketch))
     data = buf.getvalue()
     tmp = path.with_suffix(path.suffix + ".tmp")

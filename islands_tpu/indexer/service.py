@@ -62,11 +62,13 @@ logger = logging.getLogger("islands_tpu.indexer")
 
 @dataclasses.dataclass
 class EmbeddingConfig:
-    """Tagged embedder choice (reference's Local/OpenAI/Cohere/Candle enum;
-    TPU equivalents: 'encoder' = on-TPU BERT, 'hash' = deterministic
-    device-free fallback standing in for cloud backends)."""
+    """Tagged embedder choice (reference's Local/OpenAI/Cohere/Candle enum,
+    provider.rs:76-102; TPU equivalents: 'encoder' = on-TPU BERT/ModernBERT,
+    'openai'/'cohere' = the cloud wire-format clients (models/cloud.py;
+    api_key from OPENAI_API_KEY / COHERE_API_KEY), 'hash' = deterministic
+    device-free test fallback)."""
 
-    kind: str = "hash"  # "hash" | "encoder"
+    kind: str = "hash"  # "hash" | "encoder" | "openai" | "cohere"
     model: str = "bge-small"  # preset name or local HF path for "encoder"
     batch_size: int = 32  # reference default: service.rs:92
     dimension: int = 384  # used by "hash"
@@ -200,6 +202,23 @@ class IndexerService:
                     self._embedder = TextEncoder.from_pretrained(ec.model)
                 else:
                     self._embedder = TextEncoder.from_preset(ec.model)
+            elif ec.kind in ("openai", "cohere"):
+                # Cloud backends (reference: CloudProvider {OpenAI, Cohere},
+                # provider.rs:84-102); api_key from env per reference docs.
+                from islands_tpu.models.cloud import (
+                    CloudEmbedder,
+                    CloudEmbeddingConfig,
+                    CloudProvider,
+                )
+
+                # ec.model's default ("bge-small") is a local preset name;
+                # treat it as "use the provider's default cloud model".
+                cloud_model = ec.model if ec.model not in ("", "bge-small") else None
+                self._embedder = CloudEmbedder(CloudEmbeddingConfig(
+                    provider=CloudProvider(ec.kind),
+                    model=cloud_model,
+                    batch_size=ec.batch_size,
+                ))
             else:
                 from islands_tpu.models.encoder import HashEmbedder
 

@@ -18,7 +18,9 @@ TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
+import enum
 import hashlib
+import json
 from pathlib import Path
 
 import jax
@@ -26,8 +28,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from islands_tpu.models import bert as bert_mod
+from islands_tpu.models import modernbert as modernbert_mod
 
 Array = jax.Array
+
+
+class ModelArchitecture(str, enum.Enum):
+    """Embedder architecture families (reference enum:
+    src/core/embedding/provider.rs:39-73). BERT and ModernBERT have full
+    on-TPU forward implementations (models/bert.py, models/modernbert.py);
+    the remaining families are recognized (config surface parity) but raise
+    until an implementation lands — the reference likewise only routes
+    Bert/Jina through its Candle path and errors elsewhere."""
+
+    BERT = "bert"
+    MODERNBERT = "modernbert"
+    JINA_BERT = "jina-bert"
+    CLIP = "clip"
+    COLBERT = "colbert"
+    COLPALI = "colpali"
+    SPLADE = "splade"
+
+    @staticmethod
+    def detect(name: str) -> "ModelArchitecture":
+        """Name-based detection (reference: provider.rs name matching).
+        `name` is a model id/path string; defaults to BERT like the
+        reference's fallback."""
+        n = name.lower()
+        for pat, arch in (
+            ("modernbert", ModelArchitecture.MODERNBERT),
+            ("colpali", ModelArchitecture.COLPALI),
+            ("colbert", ModelArchitecture.COLBERT),
+            ("splade", ModelArchitecture.SPLADE),
+            ("clip", ModelArchitecture.CLIP),
+            ("jina", ModelArchitecture.JINA_BERT),
+        ):
+            if pat in n:
+                return arch
+        return ModelArchitecture.BERT
+
+
+IMPLEMENTED_ARCHITECTURES = frozenset(
+    {ModelArchitecture.BERT, ModelArchitecture.MODERNBERT}
+)
 
 #: Model presets: name -> (config factory, embedding dimension)
 #: (reference presets: provider.rs:260-277, candle_provider.rs:41-117)
@@ -38,6 +81,9 @@ PRESETS = {
     "bge-base": (bert_mod.BertConfig.bge_base, 768),
     "bge-large": (bert_mod.BertConfig.bge_large, 1024),
     "tiny-test": (bert_mod.BertConfig.tiny_test, 64),
+    "modernbert-base": (modernbert_mod.ModernBertConfig.modernbert_base, 768),
+    "modernbert-large": (modernbert_mod.ModernBertConfig.modernbert_large, 1024),
+    "modernbert-tiny-test": (modernbert_mod.ModernBertConfig.tiny_test, 64),
 }
 
 #: Static sequence-length buckets (max matches the reference's
@@ -115,12 +161,20 @@ class TextEncoder:
     def __init__(
         self,
         params: dict,
-        model_config: bert_mod.BertConfig,
+        model_config,
         tokenizer=None,
         config: EncoderConfig | None = None,
     ):
         self.params = params
         self.model_config = model_config
+        # Architecture dispatch on the config type (BertConfig vs
+        # ModernBertConfig) — the reference's ModelArchitecture routing
+        # (provider.rs:39-73) resolved at construction.
+        arch = (modernbert_mod
+                if isinstance(model_config, modernbert_mod.ModernBertConfig)
+                else bert_mod)
+        self.architecture = (ModelArchitecture.MODERNBERT
+                             if arch is modernbert_mod else ModelArchitecture.BERT)
         self.config = config or EncoderConfig()
         self.tokenizer = tokenizer or SimpleTokenizer(model_config.vocab_size)
         self.config = dataclasses.replace(
@@ -134,7 +188,7 @@ class TextEncoder:
             ) or (model_config.max_position_embeddings,),
         )
         self._jitted = jax.jit(
-            lambda ids, mask: bert_mod.encode(
+            lambda ids, mask: arch.encode(
                 self.params, ids, mask, self.model_config, self.config.normalize
             )
         )
@@ -149,14 +203,35 @@ class TextEncoder:
             raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
         factory, _ = PRESETS[name]
         mc = factory()
-        return TextEncoder(bert_mod.init_params(mc, seed), mc, config=config)
+        mod = (modernbert_mod
+               if isinstance(mc, modernbert_mod.ModernBertConfig) else bert_mod)
+        return TextEncoder(mod.init_params(mc, seed), mc, config=config)
 
     @staticmethod
     def from_pretrained(
         path: str | Path, config: EncoderConfig | None = None
     ) -> "TextEncoder":
-        params, mc = bert_mod.load_hf_checkpoint(path)
-        tok = HfTokenizer(path)
+        """Load a local HF checkpoint directory; the architecture comes from
+        config.json's model_type (falling back to path-name detection —
+        reference: provider.rs:39-73). Unimplemented architectures raise."""
+        path = Path(path)
+        model_type = ""
+        cfg_path = path / "config.json"
+        if cfg_path.exists():
+            model_type = json.loads(cfg_path.read_text()).get("model_type", "")
+        arch = ModelArchitecture.detect(model_type or str(path))
+        if arch not in IMPLEMENTED_ARCHITECTURES:
+            raise NotImplementedError(
+                f"architecture {arch.value!r} is recognized but has no TPU "
+                f"forward yet; implemented: "
+                f"{sorted(a.value for a in IMPLEMENTED_ARCHITECTURES)}"
+            )
+        mod = modernbert_mod if arch is ModelArchitecture.MODERNBERT else bert_mod
+        params, mc = mod.load_hf_checkpoint(path)
+        try:
+            tok = HfTokenizer(path)
+        except Exception:  # weights-only checkpoint dir: deterministic fallback
+            tok = SimpleTokenizer(mc.vocab_size)
         return TextEncoder(params, mc, tokenizer=tok, config=config)
 
     # -- properties --------------------------------------------------------

@@ -233,3 +233,20 @@ def test_scatter_reverse_edges_row_branch_matches_element_branch(monkeypatch):
     )
     for a, b in zip(out_elt, out_row):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bucket_size_quarter_steps():
+    """Structural buckets: pow2 to 2^20, quarter steps above (the 1.25M
+    config-5 shard must not pad to 2M — the dead nbr_sketch margin decides
+    build feasibility at sketch_dims=48, CLAUDE.md facts 16/33)."""
+    from islands_tpu.core.build import _bucket_size
+
+    assert _bucket_size(1) == 512
+    assert _bucket_size(513) == 1024
+    assert _bucket_size(131072) == 131072
+    assert _bucket_size(1_000_000) == 1 << 20
+    assert _bucket_size(1 << 20) == 1 << 20
+    assert _bucket_size(1_250_000) == 1_310_720  # 1.25 * 2^20
+    assert _bucket_size(1_400_000) == 1_572_864  # 1.5 * 2^20
+    assert _bucket_size(2_000_000) == 1 << 21
+    assert _bucket_size(2_200_000) == 2_621_440  # 1.25 * 2^21

@@ -352,3 +352,126 @@ class TestCenteredProvider:
             for i in range(16)
         ])
         assert rec >= 0.9, rec
+
+
+class TestModernBertHFParity:
+    """ModernBERT forward parity vs the HF torch implementation on the same
+    tiny random-init checkpoint (VERDICT r4 item 8: second embedder
+    architecture — rotary, alternating global/local attention, GeGLU,
+    pre-norm). Reference routing: provider.rs:39-73 ModelArchitecture."""
+
+    @pytest.fixture(scope="class")
+    def checkpoint(self, tmp_path_factory):
+        import torch
+        from transformers import ModernBertConfig as HFMBConfig, ModernBertModel
+
+        hf_cfg = HFMBConfig(
+            vocab_size=1024, hidden_size=64, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=96,
+            max_position_embeddings=128, local_attention=16,
+            global_attn_every_n_layers=3, pad_token_id=0,
+            attn_implementation="eager", reference_compile=False,
+        )
+        torch.manual_seed(1)
+        model = ModernBertModel(hf_cfg)
+        model.eval()
+        d = tmp_path_factory.mktemp("mb_ckpt")
+        model.save_pretrained(str(d))
+        return model, d
+
+    def test_forward_parity(self, checkpoint):
+        import dataclasses as dc
+
+        import torch
+
+        from islands_tpu.models import modernbert as mb_mod
+
+        model, d = checkpoint
+        params, cfg = mb_mod.load_hf_checkpoint(d)
+        cfg = dc.replace(cfg, dtype="float32")
+        assert cfg.num_hidden_layers == 4 and cfg.local_attention == 16
+
+        rng = np.random.default_rng(5)
+        # seq 24 > window 16 so the local layers' sliding window binds.
+        ids = rng.integers(1, 1024, size=(4, 24)).astype(np.int64)
+        mask = np.ones((4, 24), dtype=np.int64)
+        mask[1, 16:] = 0
+        mask[3, 8:] = 0
+        ids = np.where(mask > 0, ids, 0)
+
+        with torch.no_grad():
+            hf_out = model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(mb_mod.modernbert_forward(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+            cfg,
+        ))
+        on = mask.astype(bool)
+        np.testing.assert_allclose(ours[on], hf_out[on], atol=1e-4, rtol=1e-4)
+
+        # Pooled pipeline (same mask-weighted mean + L2 as BERT).
+        m = mask[:, :, None].astype(np.float32)
+        hf_pooled = (hf_out * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+        hf_pooled = hf_pooled / np.maximum(
+            np.linalg.norm(hf_pooled, axis=-1, keepdims=True), 1e-12)
+        ours_pooled = np.asarray(mb_mod.encode(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+            cfg, normalize=True))
+        np.testing.assert_allclose(ours_pooled, hf_pooled, atol=1e-4, rtol=1e-4)
+
+    def test_from_pretrained_dispatches_architecture(self, checkpoint):
+        from islands_tpu.models import ModelArchitecture
+
+        _, d = checkpoint
+        enc = TextEncoder.from_pretrained(d)
+        assert enc.architecture is ModelArchitecture.MODERNBERT
+        assert enc.dimension == 64
+
+
+class TestModernBertEncoder:
+    @pytest.fixture(scope="class")
+    def enc(self):
+        return TextEncoder.from_preset("modernbert-tiny-test", seed=0)
+
+    def test_shapes_unit_norm_deterministic(self, enc):
+        from islands_tpu.models import ModelArchitecture
+
+        assert enc.architecture is ModelArchitecture.MODERNBERT
+        e1 = enc.embed_texts(TEXTS)
+        e2 = enc.embed_texts(TEXTS)
+        assert e1.shape == (len(TEXTS), 64)
+        assert np.all(np.isfinite(e1))
+        np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(e1, e2, atol=1e-6)
+
+    def test_padding_invariance(self, enc):
+        """Same text, different bucket padding -> same embedding (the window
+        and rope are position-absolute; padded keys are masked out)."""
+        ids32, m32 = enc.tokenize(TEXTS[:2], pad_to=32)
+        ids64, m64 = enc.tokenize(TEXTS[:2], pad_to=64)
+        e32 = np.asarray(enc.encode_tokens(ids32, m32))
+        e64 = np.asarray(enc.encode_tokens(ids64, m64))
+        np.testing.assert_allclose(e32, e64, atol=1e-4)
+
+
+class TestModelArchitecture:
+    def test_detection(self):
+        from islands_tpu.models import ModelArchitecture as MA
+
+        assert MA.detect("answerdotai/ModernBERT-base") is MA.MODERNBERT
+        assert MA.detect("openai/clip-vit-base-patch32") is MA.CLIP
+        assert MA.detect("colbert-ir/colbertv2.0") is MA.COLBERT
+        assert MA.detect("vidore/colpali-v1.2") is MA.COLPALI
+        assert MA.detect("naver/splade-v3") is MA.SPLADE
+        assert MA.detect("jinaai/jina-embeddings-v2") is MA.JINA_BERT
+        assert MA.detect("sentence-transformers/all-MiniLM-L6-v2") is MA.BERT
+
+    def test_unimplemented_raises(self, tmp_path):
+        import json as _json
+
+        d = tmp_path / "clip_ckpt"
+        d.mkdir()
+        (d / "config.json").write_text(_json.dumps({"model_type": "clip"}))
+        with pytest.raises(NotImplementedError, match="clip"):
+            TextEncoder.from_pretrained(d)

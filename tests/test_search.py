@@ -188,3 +188,137 @@ def test_max_iters_knob():
         assert ids_starved.shape == (16, 10)
         valid = ids_starved[ids_starved >= 0]
         assert valid.size > 0 and valid.max() < n, gate
+
+
+# ---------------------------------------------------------------------------
+# Gated-loop mechanism parity (VERDICT r4 weak #6): the AQ/promote/termination
+# state machine of both gated device loops must coincide with the sequential
+# two-level oracle (host_ref.two_level_gated_search) when fed the SAME exact
+# and approximate distances. Recall oracles elsewhere cover the outcome; these
+# cover the mechanism (spec Algorithm 2, leann.rs:899-988).
+# ---------------------------------------------------------------------------
+
+
+def _pool_parity(dev_d, dev_i, seq_d, seq_i, qi):
+    dev = {int(i): float(d) for d, i in zip(dev_d, dev_i) if np.isfinite(d)}
+    seq = {int(i): float(d) for d, i in zip(seq_d, seq_i) if np.isfinite(d)}
+    assert set(dev) == set(seq), (
+        qi, sorted(set(dev) ^ set(seq)), len(dev), len(seq))
+    for i, d in dev.items():
+        assert abs(d - seq[i]) <= 1e-4 * max(1.0, abs(d)), (qi, i, d, seq[i])
+
+
+@pytest.mark.parametrize("expand_width,promote_width", [(1, 4), (2, 8)])
+def test_sketch_gated_parity_with_sequential_oracle(expand_width, promote_width):
+    """_search_one_sketch_gated pool-set parity vs the sequential oracle:
+    same exact distances (stored rows), same calibrated sketch distances
+    (nbr_sketch rows are copies of node_sketch rows, ops/proj.py:199), same
+    AQ margin (0.5), same fixed widths."""
+    import jax.numpy as jnp
+
+    from islands_tpu.core.search import (
+        batched_sketch_gated_query, make_stored_scorer)
+    from islands_tpu.ops import distance as dist_ops
+    from islands_tpu.ops import proj as proj_ops
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim, ef, aq_width, max_iters = 256, 16, 24, 32, 20
+    x = make_vectors(n, dim, seed=50)
+    q = make_vectors(6, dim, seed=51)
+    adjacency, graph = knn_graph(x, m=8, metric=metric)
+    xp = dist_ops.prep_corpus(x, metric)
+    sketch = proj_ops.build_sketch_index(xp, graph.neighbors, proj_dims=16)
+
+    qp = dist_ops.prep_query(q, metric)
+    qs = proj_ops.sketch_query(qp, sketch.w, sketch.scale)
+    entry = int(graph.entry_point)
+    dev_d, dev_i, dev_nx = batched_sketch_gated_query(
+        qp, qs, xp, sketch.scale, graph.neighbors, sketch.nbr_sketch,
+        sketch.node_sketch, jnp.asarray([entry], dtype=jnp.int32),
+        exact_scorer=make_stored_scorer(metric), metric=metric, dim=dim,
+        ef=ef, k=ef, aq_width=aq_width, promote_width=promote_width,
+        expand_width=expand_width, max_iters=max_iters,
+    )
+    dev_d, dev_i = np.asarray(dev_d), np.asarray(dev_i)
+    dev_nx = np.asarray(dev_nx)
+
+    raw_all = proj_ops.unpack_raw(sketch.node_sketch)
+    for qi in range(len(q)):
+        exact_all = np.asarray(
+            dist_ops.rowwise_distance(qp[qi], xp, metric))
+        approx_all = np.asarray(proj_ops.sketch_distance_calibrated(
+            qs[qi], raw_all, metric, sketch.scale, dim))
+        seq_d, seq_i, seq_nx = host_ref.two_level_gated_search(
+            adjacency, lambda i: float(exact_all[i]),
+            lambda i: float(approx_all[i]), entry,
+            ef=ef, aq_width=aq_width,
+            promote_width=min(promote_width, expand_width * 8),
+            expand_width=expand_width, max_iters=max_iters, aq_margin=0.5,
+        )
+        _pool_parity(dev_d[qi], dev_i[qi], seq_d, seq_i, qi)
+        assert int(dev_nx[qi]) == seq_nx, (qi, int(dev_nx[qi]), seq_nx)
+
+
+@pytest.mark.parametrize("promote_exact", [True, False])
+def test_two_level_pq_parity_with_sequential_oracle(promote_exact):
+    """_search_one_two_level pool-set parity vs the sequential oracle, both
+    promote modes (per-hop exact and pure-ADC + end rescore), fed the same
+    ADC tables (pq.gated_block_scorer over whole-corpus codes)."""
+    import jax.numpy as jnp
+
+    from islands_tpu.core import pq as pq_mod
+    from islands_tpu.core.config import PQConfig
+    from islands_tpu.core.search import (
+        batched_two_level_search, make_stored_scorer)
+    from islands_tpu.ops import distance as dist_ops
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim, ef, aq_width, max_iters = 256, 16, 24, 32, 20
+    expand_width, promote_width = 2, 8
+    x = make_vectors(n, dim, seed=52)
+    q = make_vectors(6, dim, seed=53)
+    adjacency, graph = knn_graph(x, m=8, metric=metric)
+    xp = dist_ops.prep_corpus(x, metric)
+
+    # 8x32 codebook: 32^8 cells make same-code node pairs (whose exactly-equal
+    # ADC distances would make device/oracle tie-breaks diverge) vanishingly
+    # unlikely at n=256, unlike 16^4 = 65536 cells (birthday ~40%).
+    pq = pq_mod.ProductQuantizer(PQConfig(
+        num_subquantizers=8, num_centroids=32, training_iterations=8, seed=0))
+    pq.train(xp)
+    codes = pq.encode(xp)
+    nbr_codes = pq_mod.build_inline_codes(graph.neighbors, codes)
+    prep_fn = pq_mod.gated_prep_for(metric)
+    approx_scorer = pq_mod.gated_block_scorer_for(metric)
+
+    qp = dist_ops.prep_query(q, metric)
+    entry = int(graph.entry_point)
+    dev_d, dev_i, dev_nx = batched_two_level_search(
+        qp, xp, nbr_codes, pq.codebook.centroids, graph.neighbors,
+        graph.entry_point,
+        exact_scorer=make_stored_scorer(metric), approx_scorer=approx_scorer,
+        prep_fn=prep_fn, ef=ef, aq_width=aq_width,
+        promote_width=promote_width, expand_width=expand_width,
+        max_iters=max_iters, promote_exact=promote_exact,
+    )
+    dev_d, dev_i = np.asarray(dev_d), np.asarray(dev_i)
+    dev_nx = np.asarray(dev_nx)
+
+    tables = prep_fn(pq.codebook.centroids, qp)  # [B, S, K]
+    all_valid = jnp.ones((n,), dtype=bool)
+    for qi in range(len(q)):
+        exact_all = np.asarray(
+            dist_ops.rowwise_distance(qp[qi], xp, metric))
+        approx_all = np.asarray(approx_scorer(
+            tables[qi], jnp.asarray(codes, jnp.uint8).reshape(n, -1),
+            all_valid))
+        seq_d, seq_i, seq_nx = host_ref.two_level_gated_search(
+            adjacency, lambda i: float(exact_all[i]),
+            lambda i: float(approx_all[i]), entry,
+            ef=ef, aq_width=aq_width,
+            promote_width=min(promote_width, expand_width * 8),
+            expand_width=expand_width, max_iters=max_iters, aq_margin=0.0,
+            promote_exact=promote_exact,
+        )
+        _pool_parity(dev_d[qi], dev_i[qi], seq_d, seq_i, qi)
+        assert int(dev_nx[qi]) == seq_nx, (qi, int(dev_nx[qi]), seq_nx)
