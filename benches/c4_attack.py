@@ -1,0 +1,119 @@
+"""Config-4 round-5 levers, measured on the cached 1Mx768 setup: the
+static-iteration hop loop (search._run_hops) and the Pallas grouped-dilution
+ADC kernel (ops/pallas_kernels.gated_adc_sums).
+
+benches/twolevel_ablate.py located the cost: the XLA einsum ADC is ~70% of
+the forced-scan hop loop (282 of 406 ms/batch), and the REAL while_loop path
+runs ~2.5x slower than the ablation's faithful scan reimplementation in the
+same session (3,726 vs 10,090 QPS) — pointing at the batched while_loop
+machinery itself. This script measures the production `search_two_level`
+path through all four combinations:
+
+    control      while_loop + einsum ADC   (the round-4 recorded path)
+    scan         static loop + einsum ADC
+    pallas       while_loop + grouped ADC
+    scan+pallas  static loop + grouped ADC
+
+at the adopted operating point (ef128/i20/x2/p32/r65536, batch 4096), with
+recall vs GT for each (the grouped kernel must reproduce .93xx — its
+numerics are identical to the einsum: bf16 one-hot selection, f32
+accumulation). Also re-times the best variant at lower caps (i16/i14): the
+per-hop savings shift the recall/QPS frontier.
+
+Run SOLO on the chip (CLAUDE.md facts 29/32). Uses /tmp/c4_cache (built by
+twolevel_ablate.py; ~26 min cold, ~1 min warm).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from twolevel_ablate import get_setup  # noqa: E402  (same dir)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # Kernel correctness gate before any timing: Pallas grouped path vs the
+    # einsum reference on random tables/codes (identical bf16/f32 numerics
+    # modulo f32 summation order).
+    from islands_tpu.ops.pallas_kernels import _gated_adc_jnp, gated_adc_sums
+
+    rng = np.random.default_rng(7)
+    t_chk = jnp.asarray(rng.standard_normal((64, 16, 256)), dtype=jnp.float32)
+    c_chk = jnp.asarray(rng.integers(0, 256, size=(64, 240, 16)), dtype=jnp.int32)
+    got = np.asarray(gated_adc_sums(t_chk, c_chk))
+    want = np.asarray(_gated_adc_jnp(t_chk, c_chk))
+    # The kernel genuinely rounds tables to bf16 before the MXU dot; XLA's
+    # einsum lowering folds the bf16 cast into an f32 dot (measured:
+    # /tmp/dbg2 — einsum output is bit-exact vs raw-f32 lookups). So the
+    # two paths differ by per-term bf16 rounding, bounded by
+    # S * max|t| * 2^-9; both are fine for ADC triage (PQ quantization
+    # error dominates), and end-to-end recall below is the decisive gate.
+    bound = 16 * float(np.max(np.abs(want))) * 2.0 ** -9
+    err = float(np.max(np.abs(got - want)))
+    assert err < bound, f"grouped ADC mismatch: max abs err {err} > {bound}"
+    print(json.dumps({"kernel_check": "ok", "max_abs_err": err,
+                      "bf16_bound": bound}), flush=True)
+
+    idx, x_np, q_np, gt = get_setup()
+    from islands_tpu.core.embedding import InMemoryEmbeddingProvider
+
+    provider = InMemoryEmbeddingProvider(x_np)
+    nq = q_np.shape[0]
+
+    def recall(ids):
+        return float(np.mean([
+            len(set(ids[i, :10].tolist()) & set(gt[i].tolist())) / 10.0
+            for i in range(nq)
+        ]))
+
+    def run(tag, reps=3, **kw):
+        base = dict(k=10, provider=provider, ef=128, rerank_ratio=0.25,
+                    max_iters=20, routing_size=65536, expand_width=2)
+        base.update(kw)
+        d, ids = idx.search_two_level(q_np, **base)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            d, ids = idx.search_two_level(q_np, **base)
+        dt = (time.perf_counter() - t0) / reps
+        rec = recall(np.asarray(ids))
+        row = {"tag": tag, "qps": round(nq / dt, 1),
+               "recall_at_10": round(rec, 4),
+               **({"below_gate": True} if rec < 0.9 else {}),
+               **{k: v for k, v in kw.items()}}
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = [
+        run("control", static_loop=False, adc_impl="einsum"),
+        run("scan", static_loop=True, adc_impl="einsum"),
+        run("pallas", static_loop=False, adc_impl="grouped"),
+        run("scan+pallas", static_loop=True, adc_impl="grouped"),
+    ]
+    best = max(rows, key=lambda r: r["qps"] if r["recall_at_10"] >= 0.9 else 0)
+    print(json.dumps({"best": best["tag"]}), flush=True)
+
+    # Cap ladder on the winning variant: per-hop savings move the frontier.
+    kw = dict(static_loop=best.get("static_loop", True),
+              adc_impl=best.get("adc_impl", "grouped"))
+    for mi in (24, 16, 14, 12):
+        rows.append(run(f"{best['tag']}_i{mi}", max_iters=mi, **kw))
+    # Wider promote at low caps was refuted for the einsum path (fact 36:
+    # each 768-d promotion costs a 3 kB fetch+score); with cheaper hops the
+    # exact-promotion share grows, so re-check one wide rung.
+    rows.append(run(f"{best['tag']}_i12_p64", max_iters=12, promote_width=64,
+                    **kw))
+
+    out_path = pathlib.Path(__file__).resolve().parent.parent / "BENCH_C4_ATTACK.json"
+    out_path.write_text(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,7 +111,7 @@ def main():
         # folded-softmax / unpadded-transpose variants are measured head to
         # head here before one becomes the default.
         base = BertConfig.minilm_l6()
-        for impl in ("slice", "fold", "dtl"):
+        for impl in ("slice", "fold", "dtl", "onepass"):
             cfg = dataclasses.replace(base, attn_impl=impl)
             out["rows"] += bench_config(f"minilm-l6[{impl}]", cfg, seq,
                                         (64, 1024))

@@ -348,6 +348,8 @@ class LeannIndex:
         max_iters: int | None = None,
         end_rerank: bool = False,
         routing_size: int | None = None,
+        static_loop: bool | None = None,
+        adc_impl: str = "grouped",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-level search: PQ-ADC approximate queue gates which candidates
         get exact (recomputed) scoring (docs/leann-specification.md:223-271).
@@ -364,7 +366,16 @@ class LeannIndex:
         matmul per batch, search.route_entries_embed) instead of the
         global entry — fact 26's approach-phase lever, letting low
         max_iters caps keep recall. Size R to the provider: a block
-        gather for stored embeddings, a recompute batch otherwise."""
+        gather for stored embeddings, a recompute batch otherwise.
+
+        `static_loop` runs the hop loop as a fixed-trip scan instead of a
+        while_loop (search._run_hops). Measured a wash on-chip at config-4
+        (BENCH_C4_ATTACK.json: while 7,337 vs scan 7,172 QPS grouped;
+        5,435 vs 5,502 einsum — design.md §19), so the default stays the
+        while form; the knob remains for A/B and for hosts where cond
+        evaluation is costlier.
+        `adc_impl` selects the approximate scorer lowering
+        (pq.gated_block_scorer_for: "grouped" Pallas kernel / "einsum")."""
         graph = self._require_graph()
         if self.pq is None or self.pq_codes is None:
             raise IndexNotBuilt("two-level search requires PQ (build with with_pq=)")
@@ -385,6 +396,8 @@ class LeannIndex:
         if promote_width is None:
             promote_width = max(1, round(rerank_ratio * aq_width))
         promote_width = min(promote_width, em)
+        if static_loop is None:
+            static_loop = False
         if max_iters is None:
             max_iters = 8 * max(ef // max(promote_width, 1), 1) + 32
 
@@ -403,11 +416,12 @@ class LeannIndex:
             self.pq.codebook.centroids,
             graph.neighbors, entries,
             exact_scorer=exact,
-            approx_scorer=gated_block_scorer_for(self.config.metric),
+            approx_scorer=gated_block_scorer_for(self.config.metric, adc_impl),
             prep_fn=gated_prep_for(self.config.metric),
             ef=ef, aq_width=aq_width, promote_width=promote_width,
             expand_width=expand_width, max_iters=max_iters,
             promote_exact=not end_rerank,
+            static_iters=bool(static_loop),
         )
         self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])

@@ -465,27 +465,77 @@ def _gated_block_scorer(
         "esk,sk->e", onehot.astype(jnp.bfloat16), tables.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    return jnp.where(valid, _finalize_adc(s, metric_name), jnp.inf)
+
+
+def _finalize_adc(s: Array, metric_name: str) -> Array:
+    """ADC sums -> distances on the exact metric's scale."""
     if metric_name == "cosine":
-        d = 1.0 + s
-    elif metric_name == "euclidean":
-        d = jnp.sqrt(jnp.maximum(s, 0.0))
-    else:  # dotproduct / manhattan: sums are already on the metric scale
-        d = s
-    return jnp.where(valid, d, jnp.inf)
+        return 1.0 + s
+    if metric_name == "euclidean":
+        return jnp.sqrt(jnp.maximum(s, 0.0))
+    return s  # dotproduct / manhattan: sums already on the metric scale
+
+
+def _make_grouped_gated_scorer(metric_name: str):
+    """Inline-block ADC scorer whose BATCHED form runs the Pallas
+    grouped-dilution kernel (ops/pallas_kernels.gated_adc_sums).
+
+    The two-level hop loop is written per-query and vmapped
+    (search.batched_two_level_search); a pallas_call cannot appear inside
+    the vmapped body directly, so the batch-level kernel is attached as a
+    custom_vmap rule: tracing vmap(search) swaps in one whole-batch kernel
+    call per hop. Unbatched calls (and non-TPU platforms, via the kernel's
+    einsum fallback) produce bit-identical numerics to _gated_block_scorer.
+    """
+    from jax import custom_batching
+
+    from islands_tpu.ops.pallas_kernels import gated_adc_sums
+
+    @custom_batching.custom_vmap
+    def scorer(tables, block_codes, valid):
+        return _gated_block_scorer(tables, block_codes, valid,
+                                   metric_name=metric_name)
+
+    @scorer.def_vmap
+    def _batched_rule(axis_size, in_batched, tables, block_codes, valid):
+        tb, cb, vb = in_batched
+        if not tb:
+            tables = jnp.broadcast_to(tables[None], (axis_size,) + tables.shape)
+        if not cb:
+            block_codes = jnp.broadcast_to(
+                block_codes[None], (axis_size,) + block_codes.shape)
+        if not vb:
+            valid = jnp.broadcast_to(valid[None], (axis_size,) + valid.shape)
+        s = gated_adc_sums(tables, block_codes.astype(jnp.int32))
+        d = _finalize_adc(s, metric_name)
+        return jnp.where(valid, d, jnp.inf), True
+
+    return scorer
 
 
 _GATED_BLOCK_SCORERS: dict = {}
 
 
-def gated_block_scorer_for(metric):
+def gated_block_scorer_for(metric, impl: str = "grouped"):
     """Cached inline-block ADC scorer for the two-level search (see
-    _gated_block_scorer). Partner of gated_prep_for."""
+    _gated_block_scorer). Partner of gated_prep_for.
+
+    impl="grouped" (default): batched calls run the Pallas grouped-dilution
+    kernel on TPU (16x MXU-utilization win over the einsum's per-query
+    matvec lowering — benches/twolevel_ablate.py measured the einsum ADC at
+    70% of the whole hop loop). impl="einsum": the round-4 XLA lowering
+    (A/B baseline; also what the grouped path falls back to off-TPU)."""
     mname = getattr(metric, "value", str(metric))
-    if mname not in _GATED_BLOCK_SCORERS:
-        _GATED_BLOCK_SCORERS[mname] = functools.partial(
-            _gated_block_scorer, metric_name=mname
-        )
-    return _GATED_BLOCK_SCORERS[mname]
+    key = (mname, impl)
+    if key not in _GATED_BLOCK_SCORERS:
+        if impl == "grouped":
+            _GATED_BLOCK_SCORERS[key] = _make_grouped_gated_scorer(mname)
+        else:
+            _GATED_BLOCK_SCORERS[key] = functools.partial(
+                _gated_block_scorer, metric_name=mname
+            )
+    return _GATED_BLOCK_SCORERS[key]
 
 
 def _gated_prep(ctx, qp: Array, *, metric_name: str) -> Array:

@@ -101,6 +101,28 @@ def make_recompute_scorer(embed_fn, metric: DistanceMetric) -> Scorer:
     return _RECOMPUTE_SCORERS[key]
 
 
+def _run_hops(cond, body, state, max_iters: int, static_iters: bool):
+    """Run the hop loop either as a lax.while_loop (early exit when every
+    query's queues are exhausted) or as a fixed-trip lax.scan.
+
+    Production rungs run with a binding max_iters cap (CLAUDE.md fact 23:
+    the batched while_loop is straggler-bound, so the cap — not
+    convergence — decides the trip count). With the cap binding, the
+    while_loop's early exit almost never fires, but its batched lowering
+    still pays cond evaluation + whole-state select-masking every
+    iteration. static_iters=True drops both: the body is a fixed-point
+    no-op on converged queries (sel_valid/prom_valid all-False), so
+    results match the while form for capped queries; a query the while
+    cond would have stopped early keeps hopping and can only merge equal
+    or better candidates into its pool (recall >= the while form).
+    """
+    if static_iters:
+        state, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
+                                length=max_iters)
+        return state
+    return jax.lax.while_loop(cond, body, state)
+
+
 # ---------------------------------------------------------------------------
 # Pruning strategies (reference: apply_pruning_strategy, leann.rs:991-1056)
 # ---------------------------------------------------------------------------
@@ -447,6 +469,7 @@ def _search_one_sketch_gated(
     promote_width: int,
     expand_width: int,
     max_iters: int,
+    static_iters: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Two-level sketch-gated search for a single query (spec Algorithm 2,
     docs/leann-specification.md:223-271, with the inline-neighbor sketch as
@@ -561,7 +584,8 @@ def _search_one_sketch_gated(
         return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
     state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
-    pool_dists, pool_code, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    pool_dists, pool_code, _, _, n_exact, _ = _run_hops(
+        cond, body, state, max_iters, static_iters)
     return pool_dists, pool_code >> 1, n_exact
 
 
@@ -569,7 +593,7 @@ def _search_one_sketch_gated(
     jax.jit,
     static_argnames=(
         "exact_scorer", "metric", "dim", "ef", "k", "aq_width",
-        "promote_width", "expand_width", "max_iters",
+        "promote_width", "expand_width", "max_iters", "static_iters",
     ),
 )
 def batched_sketch_gated_query(
@@ -591,6 +615,7 @@ def batched_sketch_gated_query(
     promote_width: int,
     expand_width: int = 4,
     max_iters: int = 100,
+    static_iters: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Batched two-level sketch-gated query with per-query routing entries.
 
@@ -613,6 +638,7 @@ def batched_sketch_gated_query(
         promote_width=promote_width,
         expand_width=expand_width,
         max_iters=max_iters,
+        static_iters=static_iters,
     )
     dists, ids, n_exact = jax.vmap(
         lambda q1, s1, e1: search(q1, s1, exact_ctx, scale, entry_point=e1)
@@ -687,6 +713,7 @@ def _search_one_two_level(
     expand_width: int,
     max_iters: int,
     promote_exact: bool = True,
+    static_iters: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Two-level PQ-gated search (spec Algorithm 2,
     docs/leann-specification.md:223-271) for a single query.
@@ -810,7 +837,8 @@ def _search_one_two_level(
         return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
     state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
-    pool_dists, pool_code, _, _, n_exact, _ = jax.lax.while_loop(cond, body, state)
+    pool_dists, pool_code, _, _, n_exact, _ = _run_hops(
+        cond, body, state, max_iters, static_iters)
     pool_ids = pool_code >> 1
     if not promote_exact:
         # One exact rescore of the pooled ef candidates (ef exact
@@ -868,6 +896,7 @@ def batched_search(
     static_argnames=(
         "exact_scorer", "approx_scorer", "prep_fn", "ef", "aq_width",
         "promote_width", "expand_width", "max_iters", "promote_exact",
+        "static_iters",
     ),
 )
 def batched_two_level_search(
@@ -887,6 +916,7 @@ def batched_two_level_search(
     expand_width: int = 4,
     max_iters: int = 100,
     promote_exact: bool = True,
+    static_iters: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Two-level batched search over inline neighbor-code blocks
     (`nbr_codes` [N, m0*S] u8, pq.build_inline_codes; `approx_scorer` from
@@ -908,6 +938,7 @@ def batched_two_level_search(
         expand_width=expand_width,
         max_iters=max_iters,
         promote_exact=promote_exact,
+        static_iters=static_iters,
     )
     if jnp.ndim(entry_point) == 0:
         return jax.vmap(
@@ -974,11 +1005,14 @@ class StoredSearcher:
         max_iters: int | None = None,
         gate: str = "auto",
         promote_width: int | None = None,
+        static_loop: bool = False,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
         empty results (reference: leann.rs:875-877). `promote_width` (sketch
         gate only) caps how many approximate-queue heads get exact scoring
-        per hop — the exact-gather budget knob."""
+        per hop — the exact-gather budget knob. `static_loop` runs the
+        sketch-gated hop loop as a fixed-trip scan (see _run_hops; wins when
+        the max_iters cap binds, fact 23)."""
         if self.graph.num_nodes == 0:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
@@ -1002,7 +1036,7 @@ class StoredSearcher:
                 exact_scorer=self._scorer, metric=self.metric,
                 dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
-                max_iters=max_iters,
+                max_iters=max_iters, static_iters=static_loop,
             )
             return d, ids
         if max_iters is None:

@@ -61,6 +61,14 @@ class BertConfig:
     #             is lane-sized, so the transpose writes are physically
     #             unpadded; the [B, L, H, D] view's (H, D) minor tile pads
     #             ~5x at head_dim 32 — fact 9).
+    #   "onepass" — "dtl" + the softmax DENOMINATOR rides the PV matmul:
+    #             a ones-row is appended to v along head_dim, so
+    #             sum_k exp(s-smax) falls out of the same contraction as
+    #             context. exp(s-smax) then has a SINGLE consumer, letting
+    #             XLA fuse it into the dot's operand read — the probs
+    #             tensor (the layer's largest, [B, H, L, L]) never
+    #             materializes in HBM: 1 write + 2 reads of the score
+    #             tensor per layer vs fold's 2 writes + 4 reads.
     attn_impl: str = "slice"
 
     @staticmethod
@@ -223,12 +231,12 @@ def bert_forward(
         #   inside one fused kernel (upcast + reduce + downcast fuse);
         # - the PV einsum writes [B, L, H, D] and reshapes straight to
         #   [B, L, H*D] (a contiguous merge) for the output projection.
-        if config.attn_impl == "dtl":
+        if config.attn_impl in ("dtl", "onepass"):
             v = jnp.einsum(
                 "blhd->bhdl", qkv[..., 2 * h :].reshape(b, slen, nh, hd))
         else:
             v = qkv[..., 2 * h :].reshape(b, slen, nh, hd)
-        if config.attn_impl == "dtl":
+        if config.attn_impl in ("dtl", "onepass"):
             # q/k land in HBM as [B, H, D, L]: minor dim L is lane-sized,
             # so the materialized transposes are physically unpadded
             # (the [B, L, H, D] view tile-pads (H, D) ~5x at head_dim 32).
@@ -243,7 +251,22 @@ def bert_forward(
             scores = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = (scores * inv_sqrt_hd).astype(dtype) + attn_bias
-        if config.attn_impl in ("fold", "dtl"):
+        if config.attn_impl == "onepass":
+            # The denominator rides the PV matmul: a ones-row appended to v
+            # along head_dim makes sum_k exp(s - smax) fall out of the same
+            # contraction as the context, so probs has a SINGLE consumer —
+            # one read of the layer's largest tensor instead of fold's two
+            # (denom einsum + PV). Statistics stay f32; the ones-row is
+            # exact in bf16, so denom == fold's f32-accumulated row sum.
+            s32 = scores.astype(jnp.float32)
+            smax = jnp.max(s32, axis=-1, keepdims=True)
+            probs = jnp.exp(s32 - smax).astype(dtype)
+            ones = jnp.ones((b, nh, 1, slen), dtype)
+            v_aug = jnp.concatenate([v, ones], axis=2)  # [B, H, D+1, L]
+            ctx = jnp.einsum("bhqk,bhdk->bqhd", probs, v_aug,
+                             preferred_element_type=jnp.float32)
+            ctx = (ctx[..., :hd] / ctx[..., hd:hd + 1]).astype(dtype)
+        elif config.attn_impl in ("fold", "dtl"):
             # Folded softmax: write the [B, H, L, L] probs tensor ONCE as
             # unnormalized exp(s - max) and divide by the row sum at the
             # tiny [B, L, H, D] context output instead — one fewer full

@@ -128,6 +128,119 @@ def adc_scan(tables: Array, codes: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Gated ADC: per-query candidate scoring (the two-level hop's hot op)
+# ---------------------------------------------------------------------------
+
+
+def _gated_adc_kernel(tables_ref, codes_ref, out_ref, acc_ref, *,
+                      num_sq: int, k: int, group: int, ep: int):
+    """One query-group: out[g, e] = sum_s tables[g, s, codes[g, e, s]].
+
+    The gated hop scores each query against its OWN candidates, so the
+    full-scan trick (adc_scan: one [TB, K] x [K, TN] matmul, codes shared
+    by every query) does not apply — per query the one-hot contraction is
+    a matvec and the MXU runs at 1/128 utilization (measured 0.3-1% of
+    bf16 peak via XLA's einsum lowering, benches/twolevel_ablate.py: the
+    ADC line is 70% of the whole hop loop).
+
+    Dilution trick: stack the GROUP's candidates as G*Ep one-hot columns
+    and matmul against all G query tables at once —
+        acc [G, G*Ep] += tables_s [G, K] x onehot(codes_s) [K, G*Ep]
+    — then keep only the block diagonal (query g's slice of columns).
+    G-fold FLOP waste, but the MXU output tile [G=8, G*Ep] is full-width,
+    a 128/G = 16x utilization win over the matvec form. The one-hot is
+    generated per subspace in VMEM (iota compare) so, as in adc_scan, the
+    only HBM traffic is one pass over codes + tables.
+    """
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    ge = group * ep
+    for s in range(num_sq):  # num_sq <= 64: unrolled, all dots on the MXU
+        c_s = codes_ref[0, s, :]  # [G*Ep] int32 (lane dim)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k, ge), 0)
+        onehot = (iota == c_s[None, :]).astype(jnp.bfloat16)  # [K, G*Ep]
+        t_s = tables_ref[:, s, :].astype(jnp.bfloat16)  # [G, K]
+        # bf16 operands / f32 accumulation — identical numerics to the
+        # XLA einsum path in pq._gated_block_scorer (one-hot values are
+        # exact in bf16; only table values round, ~0.4% rel).
+        acc_ref[:] += jax.lax.dot_general(
+            t_s, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    for g in range(group):
+        out_ref[g, :] = acc_ref[g, g * ep:(g + 1) * ep]
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def _gated_adc_pallas(tables: Array, codes: Array, group: int = 8) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, num_sq, k = tables.shape
+    e = codes.shape[1]
+    ep = _round_up(e, 128)
+    gb = _round_up(b, group)
+    # Pad codes with k: iota == k never holds, so padded columns/rows sum
+    # to 0 and are sliced away / masked by the caller.
+    codes_p = jnp.pad(codes.astype(jnp.int32),
+                      ((0, gb - b), (0, ep - e), (0, 0)),
+                      constant_values=k)
+    tables_p = jnp.pad(tables, ((0, gb - b), (0, 0), (0, 0)))
+    # [GB, Ep, S] -> [GB//G, S, G*Ep]: per subspace the group's candidate
+    # codes land contiguous on the lane axis (query g owns lanes
+    # [g*Ep, (g+1)*Ep), matching the kernel's diagonal-block extraction).
+    codes_t = (
+        codes_p.reshape(gb // group, group, ep, num_sq)
+        .transpose(0, 3, 1, 2)
+        .reshape(gb // group, num_sq, group * ep)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_gated_adc_kernel, num_sq=num_sq, k=k,
+                          group=group, ep=ep),
+        out_shape=jax.ShapeDtypeStruct((gb, ep), jnp.float32),
+        grid=(gb // group,),
+        in_specs=[
+            pl.BlockSpec((group, num_sq, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_sq, group * ep), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, ep), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((group, group * ep), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * gb * group * ep * num_sq * k,
+            bytes_accessed=(gb * num_sq * k * 4 + gb * ep * num_sq * 4
+                            + gb * ep * 4),
+            transcendentals=0,
+        ),
+    )(tables_p, codes_t)
+    return out[:b, :e]
+
+
+@jax.jit
+def _gated_adc_jnp(tables: Array, codes: Array) -> Array:
+    c = codes.astype(jnp.int32)  # [B, E, S]
+    k = tables.shape[-1]
+    onehot = (c[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, k), 3))
+    return jnp.einsum(
+        "besk,bsk->be", onehot.astype(jnp.bfloat16),
+        tables.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    )
+
+
+def gated_adc_sums(tables: Array, codes: Array, group: int = 8) -> Array:
+    """Batched gated ADC: tables [B, S, K] f32, codes [B, E, S] int -> sums
+    [B, E] f32 (no metric finalize/masking — see pq.gated_block_scorer_for).
+    Pallas grouped-dilution kernel on TPU, einsum fallback elsewhere."""
+    if _on_tpu():
+        return _gated_adc_pallas(tables, codes, group=group)
+    return _gated_adc_jnp(tables, codes)
+
+
+# ---------------------------------------------------------------------------
 # Fused pairwise distance tiles
 # ---------------------------------------------------------------------------
 

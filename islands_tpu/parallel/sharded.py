@@ -540,7 +540,8 @@ class ArchipelagoSearcher:
         self._cache = _ARCHIPELAGO_CACHE
 
     def _make(self, k: int, ef: int, expand_width: int, max_iters: int,
-              gate: str, promote_width: int | None = None):
+              gate: str, promote_width: int | None = None,
+              static_loop: bool = False):
         idx = self.index
         mesh = idx.mesh
         metric = idx.metric
@@ -589,6 +590,7 @@ class ArchipelagoSearcher:
                     promote_width=promote,
                     expand_width=expand_width,
                     max_iters=max_iters,
+                    static_iters=static_loop,
                 )
                 d_loc, i_loc, _ = jax.vmap(
                     lambda q1, s1, e1: search(q1, s1, ctx, scale, entry_point=e1)
@@ -695,11 +697,13 @@ class ArchipelagoSearcher:
         max_iters: int | None = None,
         gate: str = "auto",
         promote_width: int | None = None,
+        static_loop: bool = False,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]) with global ids.
         B must be divisible by the mesh 'dp' axis size. `promote_width`
         (sketch gate) caps per-hop exact scoring per shard — same knob as
-        StoredSearcher/LeannIndex (design.md #13)."""
+        StoredSearcher/LeannIndex (design.md #13). `static_loop` runs the
+        sketch-gated hop loop as a fixed-trip scan (search._run_hops)."""
         idx = self.index
         ef = max(ef, k)
         if gate == "auto":
@@ -725,10 +729,10 @@ class ArchipelagoSearcher:
         # cache is shared across searcher instances.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
                max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch,
-               promote_width)
+               promote_width, static_loop)
         if key not in self._cache:
             self._cache[key] = self._make(k, ef, expand_width, max_iters,
-                                          gate, promote_width)
+                                          gate, promote_width, static_loop)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
         if gate == "sketch":
             return self._cache[key](

@@ -163,15 +163,14 @@ class TestHFParity:
         mask = jnp.asarray(mask_np)
 
         outs = {}
-        for impl in ("slice", "fold", "dtl"):
+        for impl in ("slice", "fold", "dtl", "onepass"):
             c = dc.replace(cfg, dtype="float32", attn_impl=impl)
             outs[impl] = np.asarray(
                 bert_mod.bert_forward(params, ids, mask, c))
         on = mask_np.astype(bool)
-        np.testing.assert_allclose(
-            outs["fold"][on], outs["slice"][on], atol=1e-5, rtol=1e-5)
-        np.testing.assert_allclose(
-            outs["dtl"][on], outs["slice"][on], atol=1e-5, rtol=1e-5)
+        for impl in ("fold", "dtl", "onepass"):
+            np.testing.assert_allclose(
+                outs[impl][on], outs["slice"][on], atol=1e-5, rtol=1e-5)
 
     def test_loads_torch_bin_fallback(self, checkpoint, tmp_path):
         import shutil
