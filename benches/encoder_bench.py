@@ -35,13 +35,32 @@ def model_flops_per_token(cfg, seq):
     return L * per_layer
 
 
-def bench_config(name, cfg, seq, batches, reps=3, chains=(4, 20)):
+def modernbert_flops_per_token(cfg, seq):
+    """ModernBERT forward FLOPs per token: QKVO + attention + GeGLU FFN
+    (wi projects to 2*intermediate). Attention is counted DENSE for every
+    layer — models/modernbert.py computes full [L, L] scores and applies
+    the sliding window as an additive bias, so this is the arithmetic the
+    chip actually executes."""
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    per_layer = (
+        2 * 4 * h * h          # qkv (3hh) + o (hh)
+        + 2 * 2 * seq * h      # scores + context
+        + 2 * 3 * h * i        # wi (h x 2i) + wo (i x h)
+    )
+    return L * per_layer
+
+
+def bench_config(name, cfg, seq, batches, reps=3, chains=(4, 20),
+                 module=None, flops_fn=model_flops_per_token):
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from islands_tpu.models import bert as bert_mod
+    if module is None:
+        from islands_tpu.models import bert as bert_mod
+    else:
+        bert_mod = module
 
     params = bert_mod.init_params(cfg, seed=0)
     rows = []
@@ -83,7 +102,7 @@ def bench_config(name, cfg, seq, batches, reps=3, chains=(4, 20)):
         t_short, t_long = timed(chains[0]), timed(chains[1])
         dt = (t_long - t_short) / (chains[1] - chains[0])
         toks = b * seq
-        fpt = model_flops_per_token(cfg, seq)
+        fpt = flops_fn(cfg, seq)
         mfu = toks * fpt / dt / V5E_PEAK_BF16
         row = {"model": name, "batch": b, "seq": seq,
                "tokens_per_s": round(toks / dt, 0),
@@ -119,6 +138,14 @@ def main():
         for impl in ("slice", "fold"):
             cfg = dataclasses.replace(bge, attn_impl=impl)
             out["rows"] += bench_config(f"bge-base[{impl}]", cfg, seq, (64,))
+    elif len(sys.argv) > 1 and sys.argv[1] == "modernbert":
+        # Second embedder architecture (provider.rs:39-73): rotary +
+        # alternating global/local attention + GeGLU, models/modernbert.py.
+        from islands_tpu.models import modernbert as mb
+
+        out["rows"] += bench_config(
+            "modernbert-base", mb.ModernBertConfig.modernbert_base(), seq,
+            (64,), module=mb, flops_fn=modernbert_flops_per_token)
     else:
         out["rows"] += bench_config("minilm-l6", BertConfig.minilm_l6(), seq,
                                     (64, 256, 1024))
