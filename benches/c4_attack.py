@@ -74,14 +74,29 @@ def main():
             for i in range(nq)
         ]))
 
-    def run(tag, reps=3, **kw):
+    # Queries live on device, as in bench.py's 128-d ladder (its corpus/
+    # queries are jax arrays): benches/c4_gap.py measured the axon tunnel
+    # at ~15-30 MB/s, so a per-call 12.6 MB host->device copy of the
+    # [4096, 768] batch costs 0.4-0.8 s — 2-4x the device-side search
+    # itself. Timing with device-resident queries is (a) the same
+    # methodology as the official 128-d rungs and (b) the deployment
+    # reality off this tunnel (PCIe moves 12.6 MB in ~1 ms). The public
+    # API is unchanged: search_two_level's jnp.asarray(q) is a no-op for
+    # device arrays. A host-numpy control row records the tunnel tax.
+    import jax
+    import jax.numpy as jnp
+
+    q_dev = jax.block_until_ready(jnp.asarray(q_np))
+
+    def run(tag, reps=3, q_in=None, **kw):
         base = dict(k=10, provider=provider, ef=128, rerank_ratio=0.25,
                     max_iters=20, routing_size=65536, expand_width=2)
         base.update(kw)
-        d, ids = idx.search_two_level(q_np, **base)  # warm/compile
+        q = q_dev if q_in is None else q_in
+        d, ids = idx.search_two_level(q, **base)  # warm/compile
         t0 = time.perf_counter()
         for _ in range(reps):
-            d, ids = idx.search_two_level(q_np, **base)
+            d, ids = idx.search_two_level(q, **base)
         dt = (time.perf_counter() - t0) / reps
         rec = recall(np.asarray(ids))
         row = {"tag": tag, "qps": round(nq / dt, 1),
@@ -96,6 +111,8 @@ def main():
         run("scan", static_loop=True, adc_impl="einsum"),
         run("pallas", static_loop=False, adc_impl="grouped"),
         run("scan+pallas", static_loop=True, adc_impl="grouped"),
+        run("pallas_hostq_control", q_in=q_np, static_loop=False,
+            adc_impl="grouped"),
     ]
     best = max(rows, key=lambda r: r["qps"] if r["recall_at_10"] >= 0.9 else 0)
     print(json.dumps({"best": best["tag"]}), flush=True)
