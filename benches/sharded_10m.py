@@ -101,15 +101,19 @@ def main():
 
         searcher = StoredSearcher(graph, xs, metric, sketch=sketch,
                                   routing_size=65536)
+        # Device-resident queries: same methodology as bench.py's ladder
+        # (CLAUDE.md fact 38b — a per-call 2.1 MB host copy through the
+        # ~15-30 MB/s tunnel costs 70-140 ms vs ~100-170 ms of search).
+        q_dev = jax.block_until_ready(jnp.asarray(queries_np))
         for ef, promote, max_iters, xw in points:
-            d, ids = searcher.search(queries_np, k=10, ef=ef,
+            d, ids = searcher.search(q_dev, k=10, ef=ef,
                                      expand_width=xw, promote_width=promote,
                                      max_iters=max_iters)
             jax.block_until_ready((d, ids))
             reps = 3
             t0 = time.perf_counter()
             for _ in range(reps):
-                d, ids = searcher.search(queries_np, k=10, ef=ef,
+                d, ids = searcher.search(q_dev, k=10, ef=ef,
                                          expand_width=xw,
                                          promote_width=promote,
                                          max_iters=max_iters)
@@ -159,6 +163,11 @@ def main():
                      "(parallel/sharded._merge_topk), strictly cheaper",
         }
         print(json.dumps(entry), flush=True)
+        if (ef, promote, max_iters, xw) == points[-1]:
+            entry["notes"] = ("margin rung on the same 8 shard builds: wide "
+                              "frontier p64/x4 trades QPS for recall at 10M. "
+                              + entry["notes"])
+            blob["config5_10m_measured_margin"] = entry
         if rec >= 0.9 and (best is None or entry["qps_8chip_projection"]
                            > best["qps_8chip_projection"]):
             best = entry
