@@ -145,11 +145,25 @@ def main():
 
     # Pre-routed entries for the no_routing-cost comparison rows.
     entries_global_a = jnp.full((nq,), int(graph.entry_point), jnp.int32)
+
+    # int8-row candidate layout: [N, M*P] int8 — SAME bytes as the packed
+    # [N, M*P/4] int32 (still a lane-multiple row: M*48 % 128 == 0 for
+    # M in {80, 120}), but the hop loop replaces the 4-op shift/mask/
+    # sign-extend unpack + cross-lane reshape with one astype. Derived
+    # here in row chunks to bound the f32 intermediate.
+    def repack_int8(packed, chunk=131072):
+        outs = []
+        for s in range(0, packed.shape[0], chunk):
+            raw = proj_ops.unpack_raw(packed[s:s + chunk])
+            outs.append(raw.astype(jnp.int8))
+        return jnp.concatenate(outs, axis=0)
+
+    nbr_i8_a = jax.block_until_ready(repack_int8(sketch.nbr_sketch))
     # Big arrays travel as jit ARGUMENTS via this ctx tuple (CLAUDE.md
     # fact 1: a closed-over device array bakes in as an executable
     # constant — 13 variants x multi-GB constants would be fatal).
     ctx_a = (xp_a, graph.neighbors, sketch.nbr_sketch, sketch.node_sketch,
-             routing_a, entries_global_a, sketch.scale)
+             routing_a, entries_global_a, sketch.scale, nbr_i8_a)
 
     def route_mm(qs, node_sketch, routing):
         raw = proj_ops.unpack_raw(node_sketch[routing])  # [R, P]
@@ -194,7 +208,12 @@ def main():
             nbr_ids = rows.reshape(em)
             nbr_valid = (sel_valid[:, None].repeat(m, axis=1).reshape(em)
                          & (nbr_ids != SENTINEL))
-            if "sketchdist" in skip:
+            if blocks.dtype == jnp.int8:
+                # int8-row layout: one convert replaces the word unpack.
+                raw = blocks.reshape(em, -1).astype(jnp.float32)
+                d_approx = proj_ops.sketch_distance_calibrated(
+                    qs1, raw, metric, scale, dim)
+            elif "sketchdist" in skip:
                 if "unpack" in skip:
                     raw = None
                 else:
@@ -261,23 +280,26 @@ def main():
                                                     length=mi)
         return pool_d, pool_code >> 1
 
-    @functools.partial(jax.jit, static_argnames=("skip", "route"))
-    def run(ctx, qp_, qs_, *, skip, route):
+    @functools.partial(jax.jit,
+                       static_argnames=("skip", "route", "sketch_src"))
+    def run(ctx, qp_, qs_, *, skip, route, sketch_src="packed"):
         (xp, neighbors, nbr_sketch, node_sketch,
-         routing, entries_global, scale) = ctx
+         routing, entries_global, scale, nbr_i8) = ctx
         if route == "prod":
             entries = route_entries(qs_, routing, node_sketch, metric)
         elif route == "mm":
             entries = route_mm(qs_, node_sketch, routing)
         else:
             entries = entries_global
+        blocks_src = nbr_i8 if sketch_src == "int8" else nbr_sketch
         return jax.vmap(
             lambda q1, s1, e: search_one(q1, s1, e, xp, neighbors,
-                                         nbr_sketch, scale, skip=skip)
+                                         blocks_src, scale, skip=skip)
         )(qp_, qs_, entries)
 
     variants = [
         ("full", frozenset(), "prod"),
+        ("int8_rows", frozenset(), "prod"),
         ("no_routing", frozenset(), "global"),
         ("routing_mm", frozenset(), "mm"),
         ("no_sketchdist", frozenset({"sketchdist"}), "prod"),
@@ -297,16 +319,19 @@ def main():
     results = {}
     out_rows = []
     for name, skip, route in variants:
-        d, ids = run(ctx_a, qp_a, qs_a, skip=skip, route=route)
+        src = "int8" if name == "int8_rows" else "packed"
+        d, ids = run(ctx_a, qp_a, qs_a, skip=skip, route=route,
+                     sketch_src=src)
         jax.block_until_ready((d, ids))
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            d, ids = run(ctx_a, qp_a, qs_a, skip=skip, route=route)
+            d, ids = run(ctx_a, qp_a, qs_a, skip=skip, route=route,
+                         sketch_src=src)
             jax.block_until_ready((d, ids))
         dt = (time.perf_counter() - t0) / reps
         rec = None
-        if name in ("full", "no_routing", "routing_mm"):
+        if name in ("full", "int8_rows", "no_routing", "routing_mm"):
             ids_np = np.asarray(ids)[:, :10]
             rec = float(np.mean([
                 len(set(ids_np[i].tolist()) & set(gt[i].tolist())) / 10.0
