@@ -470,6 +470,7 @@ def _search_one_sketch_gated(
     expand_width: int,
     max_iters: int,
     static_iters: bool = False,
+    final_rescore: int = 0,
 ) -> tuple[Array, Array, Array]:
     """Two-level sketch-gated search for a single query (spec Algorithm 2,
     docs/leann-specification.md:223-271, with the inline-neighbor sketch as
@@ -584,8 +585,27 @@ def _search_one_sketch_gated(
         return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
     state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
-    pool_dists, pool_code, _, _, n_exact, _ = _run_hops(
+    pool_dists, pool_code, aq_dists, aq_ids, n_exact, _ = _run_hops(
         cond, body, state, max_iters, static_iters)
+    if final_rescore > 0:
+        # One end-of-loop exact rescore of the AQ head: true neighbors a
+        # narrow promote_width left stranded in the approximate queue merge
+        # into the pool once, for one extra exact batch per QUERY instead
+        # of per hop (the ablation's exact-gather term, design.md §20, is
+        # per-hop×promote_width; this is the recall-recovery half of the
+        # narrow-promote trade). Unlike end_rerank (fact 34 — pure-ADC
+        # NAVIGATION loses the walk), hops here stay exact-driven.
+        fr = min(final_rescore, aq_width)
+        fr_ids = aq_ids[:fr]
+        fr_valid = aq_dists[:fr] < _INF
+        d_fr = exact_scorer(exact_ctx, q, jnp.where(fr_valid, fr_ids, 0),
+                            fr_valid)
+        n_exact = n_exact + jnp.sum(fr_valid.astype(jnp.int32))
+        fr_code = pack_id_expanded(
+            jnp.where(fr_valid, fr_ids, SENTINEL), ~fr_valid)
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, d_fr, fr_code)
+        pool_dists, pool_code = all_d[:ef], all_code[:ef]
     return pool_dists, pool_code >> 1, n_exact
 
 
@@ -594,6 +614,7 @@ def _search_one_sketch_gated(
     static_argnames=(
         "exact_scorer", "metric", "dim", "ef", "k", "aq_width",
         "promote_width", "expand_width", "max_iters", "static_iters",
+        "final_rescore",
     ),
 )
 def batched_sketch_gated_query(
@@ -616,6 +637,7 @@ def batched_sketch_gated_query(
     expand_width: int = 4,
     max_iters: int = 100,
     static_iters: bool = False,
+    final_rescore: int = 0,
 ) -> tuple[Array, Array, Array]:
     """Batched two-level sketch-gated query with per-query routing entries.
 
@@ -639,6 +661,7 @@ def batched_sketch_gated_query(
         expand_width=expand_width,
         max_iters=max_iters,
         static_iters=static_iters,
+        final_rescore=final_rescore,
     )
     dists, ids, n_exact = jax.vmap(
         lambda q1, s1, e1: search(q1, s1, exact_ctx, scale, entry_point=e1)
@@ -1006,13 +1029,16 @@ class StoredSearcher:
         gate: str = "auto",
         promote_width: int | None = None,
         static_loop: bool = False,
+        final_rescore: int = 0,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
         empty results (reference: leann.rs:875-877). `promote_width` (sketch
         gate only) caps how many approximate-queue heads get exact scoring
         per hop — the exact-gather budget knob. `static_loop` runs the
         sketch-gated hop loop as a fixed-trip scan (see _run_hops; wins when
-        the max_iters cap binds, fact 23)."""
+        the max_iters cap binds, fact 23). `final_rescore` exact-rescores
+        that many approximate-queue heads once after the loop — the
+        recall-recovery half of a narrow-promote operating point."""
         if self.graph.num_nodes == 0:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
@@ -1037,6 +1063,7 @@ class StoredSearcher:
                 dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
                 max_iters=max_iters, static_iters=static_loop,
+                final_rescore=final_rescore,
             )
             return d, ids
         if max_iters is None:

@@ -153,6 +153,50 @@ def test_promote_width_knob():
     assert r_wide >= 0.8, r_wide
 
 
+def test_final_rescore_knob():
+    """final_rescore exact-rescores the approximate-queue head once after
+    the hop loop (round-5 knob): at a narrow promote_width it must recover
+    recall (>= the un-rescored run), never duplicate ids (AQ and pool are
+    disjoint by construction), and keep returned distances exact+sorted."""
+    from islands_tpu.core.build import build_index_with_sketch
+    from islands_tpu.core.config import LeannConfig
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim = 400, 32
+    x = make_vectors(n, dim, seed=53)
+    cfg = LeannConfig(metric=metric, m=8, m0=16, reverse_slack=16, wave_size=128,
+                      ef_construction=32, sketch_dims=16)
+    graph, sketch = build_index_with_sketch(x, cfg)
+    s = StoredSearcher(graph, x, metric, sketch=sketch)
+    q = make_vectors(16, dim, seed=54)
+    _, gt = D.brute_force_topk(q, x, 10, metric)
+    gt = np.asarray(gt)
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / 10.0
+            for i in range(len(gt))
+        ])
+
+    kw = dict(k=10, ef=32, gate="sketch", promote_width=4, max_iters=6)
+    _, ids_plain = s.search(q, **kw)
+    d_fr, ids_fr = s.search(q, **kw, final_rescore=32)
+    assert recall(ids_fr) >= recall(ids_plain) - 1e-9, (
+        recall(ids_plain), recall(ids_fr))
+
+    d_fr, ids_fr = np.asarray(d_fr), np.asarray(ids_fr)
+    assert np.all(np.diff(d_fr, axis=1) >= -1e-6)
+    for qi in range(len(q)):
+        valid = ids_fr[qi][ids_fr[qi] >= 0]
+        assert len(set(valid.tolist())) == len(valid), (qi, ids_fr[qi])
+        for j in range(10):
+            if ids_fr[qi, j] < 0:
+                continue
+            want = host_ref._metric_fn(str(metric))(q[qi], x[ids_fr[qi, j]])
+            assert abs(d_fr[qi, j] - want) < 1e-3, (qi, j)
+
+
 def test_max_iters_knob():
     """max_iters caps hop iterations (the batched loop runs to the slowest
     query's convergence — round-3 QPS/tail-recall knob, CLAUDE.md fact 23).
