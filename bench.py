@@ -224,12 +224,13 @@ def main():
     searcher = StoredSearcher(graph, x, metric, sketch=sketch,
                               routing_size=65536)
 
-    def run(ef, gate, promote=None, max_iters=None, xw=4):
+    def run(ef, gate, promote=None, max_iters=None, xw=4, fr=0):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
                 queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=xw,
                 gate=gate, promote_width=promote, max_iters=max_iters,
+                final_rescore=fr,
             )
             ids_all.append(np.asarray(ids))
         return np.concatenate(ids_all)
@@ -242,7 +243,7 @@ def main():
             ])
         )
 
-    def timed(ef, gate, promote=None, max_iters=None, reps=5, xw=4):
+    def timed(ef, gate, promote=None, max_iters=None, reps=5, xw=4, fr=0):
         t0 = time.perf_counter()
         for _ in range(reps):
             for s in range(0, N_QUERIES, QUERY_BATCH):
@@ -250,16 +251,18 @@ def main():
                     queries[s : s + QUERY_BATCH], k=10, ef=ef,
                     expand_width=xw,
                     gate=gate, promote_width=promote, max_iters=max_iters,
+                    final_rescore=fr,
                 )
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)
 
-    def timed3(ef, gate, promote=None, max_iters=None, xw=4):
+    def timed3(ef, gate, promote=None, max_iters=None, xw=4, fr=0):
         """Median-of-3 timings (each itself reps=5) so the recorded QPS is
         robust to the ~1.5x session-to-session tunnel variance (CLAUDE.md
         fact 35); the spread is recorded alongside the median."""
         runs = sorted(
-            timed(ef, gate, promote, max_iters, xw=xw) for _ in range(3)
+            timed(ef, gate, promote, max_iters, xw=xw, fr=fr)
+            for _ in range(3)
         )
         return runs[1], [round(r, 1) for r in runs]
 
@@ -268,10 +271,11 @@ def main():
     HEADLINE_MIN_RECALL = 0.91
 
     def record(qps, ef, gate, rec, promote=None, max_iters=None, xw=4,
-               qps_runs=None):
+               qps_runs=None, fr=0):
         _RESULT.setdefault("rungs", []).append({
             "gate": gate, "ef": ef, "promote": promote,
             "max_iters": max_iters, "expand_width": xw,
+            "final_rescore": fr,
             "recall": round(rec, 4), "qps": round(qps, 1),
             **({"qps_runs": qps_runs} if qps_runs else {}),
         })
@@ -290,55 +294,63 @@ def main():
             log(f"recorded {gate}@ef={ef}/p={promote}: {qps:.0f} QPS @ recall "
                 f"{rec:.4f} ({qps / ref_qps:.2f}x baseline)")
 
-    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H-P at 1Mx128).
-    # Three effects compose: (a) the batched while_loop runs until the
+    # Ladder (tuned on-chip, benches/tune_1m.py runs A/E/H-P at 1Mx128;
+    # final_rescore sweep BENCH_FINAL_RESCORE/FR_PROBE, round 5).
+    # Four effects compose: (a) the batched while_loop runs until the
     # SLOWEST query in the batch converges, so capping max_iters trades
     # straggler tail recall for batch QPS; (b) dense routing (above)
-    # shortens the approach so low caps keep recall; (c) promote_width is
-    # cheap (block gathers amortize, CLAUDE.md fact 7) while iterations
-    # are the expensive unit, so wide-promote/low-cap dominates. The
-    # dims=48/slack=20 build (design.md §17) moved the whole frontier:
-    # 1. sketch@ef=32, p=48, i=10, x2: fast rung (benches/sketch_expand
-    #    .py: .918 @ ~81.5k — expand_width=2 halves the per-hop candidate
-    #    count; records only if it clears the gate on this build).
-    # 2. sketch@ef=32, p=48, i=12, x2: margin rung (.9538 @ ~71.6k —
-    #    same QPS as the old x4/i8 primary with +.011 recall).
-    # 3. sketch@ef=32, p=48, max_iters=8, x4: round-4 primary (.9432 @
-    #    51.8-72.6k run to run, .043 gate margin).
-    # 4. sketch@ef=32, p=64, max_iters=10: recall-margin point
+    # shortens the approach so low caps keep recall; (c) per-hop exact
+    # promotion is one of the three hop costs (design.md §20), so a
+    # NARROW promote_width + one end-of-loop exact rescore of the AQ head
+    # (final_rescore — recovers the stranded true neighbors once per
+    # query instead of paying per hop) dominates the round-4 wide-promote
+    # rungs on both axes: p16/i12/fr64 .9362 @ 59.5k vs p48/i10 .918 @
+    # 56.5k same-session; (d) expand_width=2 halves the per-hop candidate
+    # count (fact 35).
+    # 1. sketch@ef=32, p=8, i=12, x2, fr=64: fast rung (.9113 @ ~62.0k —
+    #    thin .0013 margin over the .91 guard; falls back to rung 2 as the
+    #    headline if this build's recall lands under it).
+    # 2. sketch@ef=32, p=16, i=12, x2, fr=64: primary (.9362 @ ~59.5k).
+    # 3. sketch@ef=32, p=24, i=12, x2, fr=64: margin rung (.9508 @ ~57.9k).
+    # 4. sketch@ef=32, p=48, i=10, x2: round-4 primary control (.918).
+    # 5. sketch@ef=32, p=64, max_iters=10: recall-margin point
     #    (.9847 @ ~42.0k) — measured if budget allows even after earlier
     #    rungs record, so the JSON carries all operating points in
     #    "rungs". Fallbacks only run if nothing clears TARGET_RECALL.
-    primary = [("sketch", 32, 48, 10, 2), ("sketch", 32, 48, 12, 2),
-               ("sketch", 32, 48, 8, 4), ("sketch", 32, 64, 10, 4)]
+    primary = [("sketch", 32, 8, 12, 2, 64), ("sketch", 32, 16, 12, 2, 64),
+               ("sketch", 32, 24, 12, 2, 64),
+               ("sketch", 32, 48, 10, 2, 0), ("sketch", 32, 64, 10, 4, 0)]
     fallback = [
-        ("sketch", 32, 64, 12, 4), ("sketch", 32, 96, 12, 4),
-        ("sketch", 32, None, 16, 4), ("sketch", 32, None, None, 4),
-        ("exact", 64, None, None, 4), ("exact", 128, None, None, 4),
+        ("sketch", 32, 64, 12, 4, 0), ("sketch", 32, 96, 12, 4, 0),
+        ("sketch", 32, None, 16, 4, 0), ("sketch", 32, None, None, 4, 0),
+        ("exact", 64, None, None, 4, 0), ("exact", 128, None, None, 4, 0),
     ]
-    for gate, ef, promote, max_iters, xw in primary:
+    for gate, ef, promote, max_iters, xw, fr in primary:
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
-        log(f"recall check: {gate}@ef={ef}/p={promote}/i={max_iters}/x={xw}")
-        rec = recall_of(run(ef, gate, promote, max_iters, xw))
+        log(f"recall check: {gate}@ef={ef}/p={promote}/i={max_iters}/x={xw}"
+            f"/fr={fr}")
+        rec = recall_of(run(ef, gate, promote, max_iters, xw, fr))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw)
-            record(qps, ef, gate, rec, promote, max_iters, xw, qps_runs=runs)
+            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw, fr=fr)
+            record(qps, ef, gate, rec, promote, max_iters, xw,
+                   qps_runs=runs, fr=fr)
 
-    for gate, ef, promote, max_iters, xw in fallback:
+    for gate, ef, promote, max_iters, xw, fr in fallback:
         if _RESULT["value"] > 0:
             break
         if budget_left() < 60:
             log(f"skipping {gate}@ef={ef}: budget nearly exhausted")
             break
         log(f"recall check: {gate}@ef={ef}/i={max_iters}")
-        rec = recall_of(run(ef, gate, promote, max_iters, xw))
+        rec = recall_of(run(ef, gate, promote, max_iters, xw, fr))
         log(f"  recall {rec:.4f}")
         if rec >= TARGET_RECALL:
-            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw)
-            record(qps, ef, gate, rec, promote, max_iters, xw, qps_runs=runs)
+            qps, runs = timed3(ef, gate, promote, max_iters, xw=xw, fr=fr)
+            record(qps, ef, gate, rec, promote, max_iters, xw,
+                   qps_runs=runs, fr=fr)
 
     if _RESULT["value"] == 0 and budget_left() > 90:
         # No rung reached HEADLINE_MIN_RECALL: report exact@256 honestly

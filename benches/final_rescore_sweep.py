@@ -39,7 +39,8 @@ def main():
                               routing_size=65536)
     q_dev = jax.block_until_ready(jax.numpy.asarray(queries))
 
-    # (promote, max_iters, expand, final_rescore)
+    # (promote, max_iters, expand, final_rescore); FR_POINTS env overrides
+    # (JSON list) and FR_OUT renames the artifact for follow-up probes.
     points = [
         (48, 10, 2, 0),    # adopted primary rung (control)
         (48, 10, 2, 64),   # pure recall upside at full promote
@@ -48,6 +49,10 @@ def main():
         (24, 12, 2, 64),
         (16, 10, 2, 64),
     ]
+    import os
+    if os.environ.get("FR_POINTS"):
+        points = [tuple(p) for p in json.loads(os.environ["FR_POINTS"])]
+    out_name = os.environ.get("FR_OUT", "BENCH_FINAL_RESCORE.json")
     rows = []
     for p, mi, xw, fr in points:
         kw = dict(k=10, ef=32, expand_width=xw, promote_width=p,
@@ -75,7 +80,7 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    (ROOT / "BENCH_FINAL_RESCORE.json").write_text(json.dumps(rows, indent=1))
+    (ROOT / out_name).write_text(json.dumps(rows, indent=1))
 
 
 if __name__ == "__main__":

@@ -350,6 +350,7 @@ class LeannIndex:
         routing_size: int | None = None,
         static_loop: bool | None = None,
         adc_impl: str = "grouped",
+        final_rescore: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-level search: PQ-ADC approximate queue gates which candidates
         get exact (recomputed) scoring (docs/leann-specification.md:223-271).
@@ -375,7 +376,11 @@ class LeannIndex:
         while form; the knob remains for A/B and for hosts where cond
         evaluation is costlier.
         `adc_impl` selects the approximate scorer lowering
-        (pq.gated_block_scorer_for: "grouped" Pallas kernel / "einsum")."""
+        (pq.gated_block_scorer_for: "grouped" Pallas kernel / "einsum").
+        `final_rescore=F` exact-rescores the F best approximate-queue
+        entries ONCE after the hop loop (promote_exact paths only) — the
+        recall-recovery half of a narrow promote_width at 768-d, where
+        each per-hop promotion costs a 3 kB row recompute/fetch."""
         graph = self._require_graph()
         if self.pq is None or self.pq_codes is None:
             raise IndexNotBuilt("two-level search requires PQ (build with with_pq=)")
@@ -422,6 +427,7 @@ class LeannIndex:
             expand_width=expand_width, max_iters=max_iters,
             promote_exact=not end_rerank,
             static_iters=bool(static_loop),
+            final_rescore=final_rescore,
         )
         self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])

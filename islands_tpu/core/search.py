@@ -737,6 +737,7 @@ def _search_one_two_level(
     max_iters: int,
     promote_exact: bool = True,
     static_iters: bool = False,
+    final_rescore: int = 0,
 ) -> tuple[Array, Array, Array]:
     """Two-level PQ-gated search (spec Algorithm 2,
     docs/leann-specification.md:223-271) for a single query.
@@ -860,8 +861,26 @@ def _search_one_two_level(
         return (all_d[:ef], all_code[:ef], aq_dists, aq_ids, n_exact, it + 1)
 
     state = (pool_dists, pool_code, aq_dists, aq_ids, n_exact, jnp.int32(0))
-    pool_dists, pool_code, _, _, n_exact, _ = _run_hops(
+    pool_dists, pool_code, aq_dists, aq_ids, n_exact, _ = _run_hops(
         cond, body, state, max_iters, static_iters)
+    if final_rescore > 0 and promote_exact:
+        # One end-of-loop exact rescore of the AQ head (same lever as the
+        # sketch gate's final_rescore): at 768-d each PER-HOP promotion
+        # costs a 3 kB exact-row fetch (fact 36 — wide promote loses 17%
+        # QPS at config-4), so recovering narrow-promote's stranded true
+        # neighbors once per QUERY is the cheap direction. Hops stay
+        # exact-driven, unlike end_rerank's pure-ADC walk (fact 34).
+        fr = min(final_rescore, aq_width)
+        fr_ids = aq_ids[:fr]
+        fr_valid = aq_dists[:fr] < _INF
+        d_fr = exact_scorer(exact_ctx, q, jnp.where(fr_valid, fr_ids, 0),
+                            fr_valid)
+        n_exact = n_exact + jnp.sum(fr_valid.astype(jnp.int32))
+        fr_code = pack_id_expanded(
+            jnp.where(fr_valid, fr_ids, SENTINEL), ~fr_valid)
+        all_d, all_code = merge_sorted_with_new(
+            pool_dists, pool_code, d_fr, fr_code)
+        pool_dists, pool_code = all_d[:ef], all_code[:ef]
     pool_ids = pool_code >> 1
     if not promote_exact:
         # One exact rescore of the pooled ef candidates (ef exact
@@ -919,7 +938,7 @@ def batched_search(
     static_argnames=(
         "exact_scorer", "approx_scorer", "prep_fn", "ef", "aq_width",
         "promote_width", "expand_width", "max_iters", "promote_exact",
-        "static_iters",
+        "static_iters", "final_rescore",
     ),
 )
 def batched_two_level_search(
@@ -940,6 +959,7 @@ def batched_two_level_search(
     max_iters: int = 100,
     promote_exact: bool = True,
     static_iters: bool = False,
+    final_rescore: int = 0,
 ) -> tuple[Array, Array, Array]:
     """Two-level batched search over inline neighbor-code blocks
     (`nbr_codes` [N, m0*S] u8, pq.build_inline_codes; `approx_scorer` from
@@ -962,6 +982,7 @@ def batched_two_level_search(
         max_iters=max_iters,
         promote_exact=promote_exact,
         static_iters=static_iters,
+        final_rescore=final_rescore,
     )
     if jnp.ndim(entry_point) == 0:
         return jax.vmap(

@@ -236,6 +236,29 @@ class TestTwoLevelSearch:
             true_d = 1.0 - float(np.dot(qn[0], xn[ids[0, j]]))
             assert abs(d[0, j] - true_d) < 1e-4
 
+    def test_final_rescore_recall_and_exactness(self, built, corpus, provider):
+        # final_rescore (round-5 knob): one exact rescore of the AQ head
+        # after the loop. At a narrow promote_width it must recover recall
+        # (>= the un-rescored run), keep distances exact, and never
+        # duplicate ids (AQ and pool are disjoint by construction).
+        q = make_vectors(32, DIM, seed=21)
+        true_ids = true_topk(q, corpus, 10)
+        kw = dict(k=10, provider=provider, ef=64, promote_width=4, max_iters=8)
+        _, ids_plain = built.search_two_level(q, **kw)
+        d_fr, ids_fr = built.search_two_level(q, **kw, final_rescore=32)
+        assert mean_recall(ids_fr, true_ids) >= mean_recall(ids_plain, true_ids) - 1e-9
+        assert np.all(np.diff(d_fr, axis=1) >= -1e-6)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        xn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        for i in range(len(q)):
+            valid = ids_fr[i][ids_fr[i] >= 0]
+            assert len(set(valid.tolist())) == len(valid), (i, ids_fr[i])
+            for j in range(10):
+                if ids_fr[i, j] < 0:
+                    continue
+                true_d = 1.0 - float(np.dot(qn[i], xn[ids_fr[i, j]]))
+                assert abs(d_fr[i, j] - true_d) < 1e-4
+
     def test_results_have_exact_distances(self, built, corpus, provider):
         # Returned distances must be exact (recomputed), not PQ-approximate.
         q = make_vectors(4, DIM, seed=33)
