@@ -209,10 +209,12 @@ def main():
     log(f"build {build_s:.1f}s = {build_vps:.0f} vec/s "
         f"({build_vps / ref_build_vps:.1f}x baseline)")
 
-    # --- ground truth (batch sized so the [Q, batch] chunk stays ~2 GB
-    # next to the live graph + sketch state) ---
+    # --- ground truth (batch sized so the [Q, batch] chunk stays ~1 GB
+    # next to the live graph + sketch state: 131072 worked four times in
+    # round 4 but OOMed once in round 5 — fact 17's 65536 is the margin
+    # that survives HBM-layout variance) ---
     log("ground truth (brute force)")
-    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=131072)
+    _, true_ids = dist_ops.brute_force_topk(queries, x, 10, metric, batch=65536)
     true_ids = np.asarray(true_ids)
     _RESULT["stage"] = "ground_truth"
 

@@ -269,50 +269,68 @@ def config4_pq_1m_768():
     import jax
     import jax.numpy as jnp
 
-    from islands_tpu.core.config import DistanceMetric, LeannConfig, PQConfig
-    from islands_tpu.core.embedding import InMemoryEmbeddingProvider
-    from islands_tpu.core.leann import LeannIndex
-    from islands_tpu.ops import distance as dist_ops
-
     idx, provider, q, true_ids, build_s = config4_setup(nq=4096)
     N, DIM, NQ = 1_000_000, 768, int(q.shape[0])
-    # Tuned operating point (benches/twolevel_routing.py + _batch.py +
-    # _expand.py): routed entries (r=65536), expand_width=2, ef=128/i20
-    # at query batch 4096 — .9353 @ 4,936 QPS (7.4x the measured 768-d
-    # baseline). Narrow expansion halves the per-hop candidate count em
-    # (the hop-machinery cost) and routing keeps capped recall; batch
-    # >= 2048 amortizes per-batch fixed costs (fact 15). Ladder walks up
-    # the recall margin (x2/i24 .9470 @ 4.4k) then the legacy points if
-    # the tuned rung misses the gate.
+    # Device-resident queries (fact 38b: a per-call host [4096,768] f32
+    # batch costs 0.4-0.8 s of tunnel transfer — 2-4x the device-side
+    # search itself). One hostq control row records the tunnel tax.
+    q_dev = jax.block_until_ready(jnp.asarray(q))
+    # Tuned operating point (benches/twolevel_routing.py/_batch.py/
+    # _expand.py/c4_attack.py/twolevel_fr.py): routed entries (r=65536),
+    # expand_width=2, grouped-dilution Pallas ADC (design.md §19), narrow
+    # promote (p16) + one end-of-loop exact rescore of the AQ head
+    # (final_rescore, design.md §21) at query batch 4096. The ladder is
+    # ordered by descending measured QPS; the first rung clearing recall
+    # .9 is timed median-of-3.
     chosen = None
-    for ef, mi, rs, xw in ((128, 20, 65536, 2), (128, 24, 65536, 2),
-                           (128, 24, 65536, 4), (128, 32, 65536, 4),
-                           (128, 32, None, 4), (256, None, None, 4)):
-        _, ids = idx.search_two_level(np.asarray(q), k=10, provider=provider,
+    for ef, mi, rs, xw, pw, fr in (
+        (128, 14, 65536, 2, 16, 128),   # 18,325 @ .9032 (BENCH_C4_FR)
+        (128, 16, 65536, 2, 16, 128),   # margin rung (BENCH_C4_FR2)
+        (128, 14, 65536, 2, None, 128),  # 16,822 @ .9031
+        (128, 20, 65536, 2, None, 0),    # round-4 control, .9353
+        (128, 24, 65536, 2, None, 0),
+        (128, 32, 65536, 4, None, 0),
+        (256, None, None, 4, None, 0),
+    ):
+        _, ids = idx.search_two_level(q_dev, k=10, provider=provider,
                                       ef=ef, rerank_ratio=0.25, max_iters=mi,
-                                      routing_size=rs, expand_width=xw)
+                                      routing_size=rs, expand_width=xw,
+                                      promote_width=pw, final_rescore=fr)
         rec = _recall(np.asarray(ids), true_ids)
         if rec >= 0.9:
-            chosen = (ef, mi, rs, xw, rec)
+            chosen = (ef, mi, rs, xw, pw, fr, rec)
             break
     if chosen is None:
-        chosen = (ef, mi, rs, xw, rec)
-    ef, mi, rs, xw, rec = chosen
-    t0 = time.perf_counter()
-    d, ids2 = idx.search_two_level(np.asarray(q), k=10, provider=provider,
-                                   ef=ef, rerank_ratio=0.25, max_iters=mi,
-                                   routing_size=rs, expand_width=xw)
-    qps = NQ / (time.perf_counter() - t0)
+        chosen = (ef, mi, rs, xw, pw, fr, rec)
+    ef, mi, rs, xw, pw, fr, rec = chosen
+
+    def timed_once(queries):
+        t0 = time.perf_counter()
+        d, i = idx.search_two_level(queries, k=10, provider=provider,
+                                    ef=ef, rerank_ratio=0.25, max_iters=mi,
+                                    routing_size=rs, expand_width=xw,
+                                    promote_width=pw, final_rescore=fr)
+        jax.block_until_ready((d, i))
+        return NQ / (time.perf_counter() - t0)
+
+    qps_runs = sorted((timed_once(q_dev) for _ in range(3)), reverse=True)
+    qps = qps_runs[1]
+    hostq_qps = timed_once(np.asarray(q))  # tunnel-tax control
     out = {
         "metric": "config4_pq_two_level_1Mx768",
         "n": N, "dim": DIM,
         "recall_at_10": round(rec, 4),
         **({"below_gate": True} if rec < 0.9 else {}),
         "qps": round(qps, 1),
+        "qps_runs": [round(r, 1) for r in qps_runs],
+        "qps_hostq_control": round(hostq_qps, 1),
         "ef": ef,
         "max_iters": mi,
         "routing_size": rs,
         "expand_width": xw,
+        "promote_width": pw,
+        "final_rescore": fr,
+        "adc_impl": "grouped",
         "build_seconds": round(build_s, 2),
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / N, 1),

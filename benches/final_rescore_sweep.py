@@ -54,9 +54,13 @@ def main():
         points = [tuple(p) for p in json.loads(os.environ["FR_POINTS"])]
     out_name = os.environ.get("FR_OUT", "BENCH_FINAL_RESCORE.json")
     rows = []
-    for p, mi, xw, fr in points:
+    for pt in points:
+        # 4-tuple (promote, max_iters, expand, fr) or 5-tuple (+ aq_width:
+        # wider AQ retains more found-but-evicted candidates for fr).
+        p, mi, xw, fr = pt[:4]
+        aq = pt[4] if len(pt) > 4 else None
         kw = dict(k=10, ef=32, expand_width=xw, promote_width=p,
-                  max_iters=mi, final_rescore=fr)
+                  max_iters=mi, final_rescore=fr, aq_width=aq)
         d, ids = searcher.search(q_dev, **kw)
         jax.block_until_ready((d, ids))
         reps = 3
@@ -73,7 +77,9 @@ def main():
             for i in range(nq)
         ]))
         row = {"promote": p, "max_iters": mi, "expand": xw,
-               "final_rescore": fr, "recall_at_10": round(rec, 4),
+               "final_rescore": fr,
+               **({"aq_width": aq} if aq else {}),
+               "recall_at_10": round(rec, 4),
                "qps": round(nq / dt, 1),
                "qps_runs": [round(nq / r, 1) for r in sorted(runs)],
                **({"below_gate": True} if rec < 0.9 else {})}

@@ -85,9 +85,11 @@ def main():
     log(f"GT done at {time.perf_counter() - t_all:.0f}s")
 
     # --- 2. stream 8 shard builds + queries (one shard in HBM at a time) ---
-    # Per-shard rungs: the 1M-proven primary (p48/i10/x2) and recall rung
-    # (p64/i10/x4) — design.md section 17 / CLAUDE.md fact 33/35.
-    points = [(32, 48, 10, 2), (32, 64, 10, 4)]
+    # Per-shard rungs: the 1M-proven final_rescore frontier (p16/p24 +
+    # i12/fr64 — design.md §21), the round-4 primary (p48/i10/x2) for
+    # continuity with fact 40, and the wide recall rung (p64/i10/x4).
+    points = [(32, 16, 12, 2, 64), (32, 24, 12, 2, 64),
+              (32, 48, 10, 2, 0), (32, 64, 10, 4, 0)]
     build_times = []
     acc = {pt: {"d": [], "i": [], "t": []} for pt in points}
     for s in range(shards):
@@ -105,10 +107,10 @@ def main():
         # (CLAUDE.md fact 38b — a per-call 2.1 MB host copy through the
         # ~15-30 MB/s tunnel costs 70-140 ms vs ~100-170 ms of search).
         q_dev = jax.block_until_ready(jnp.asarray(queries_np))
-        for ef, promote, max_iters, xw in points:
+        for ef, promote, max_iters, xw, fr in points:
             d, ids = searcher.search(q_dev, k=10, ef=ef,
                                      expand_width=xw, promote_width=promote,
-                                     max_iters=max_iters)
+                                     max_iters=max_iters, final_rescore=fr)
             jax.block_until_ready((d, ids))
             reps = 3
             t0 = time.perf_counter()
@@ -116,14 +118,15 @@ def main():
                 d, ids = searcher.search(q_dev, k=10, ef=ef,
                                          expand_width=xw,
                                          promote_width=promote,
-                                         max_iters=max_iters)
+                                         max_iters=max_iters,
+                                         final_rescore=fr)
                 jax.block_until_ready((d, ids))
             ts = (time.perf_counter() - t0) / reps
-            a = acc[(ef, promote, max_iters, xw)]
+            a = acc[(ef, promote, max_iters, xw, fr)]
             a["t"].append(ts)
             a["d"].append(np.asarray(d))
             a["i"].append(np.asarray(ids).astype(np.int64) + s * n_shard)
-            log(f"shard {s} p{promote}/i{max_iters}/x{xw}: "
+            log(f"shard {s} p{promote}/i{max_iters}/x{xw}/fr{fr}: "
                 f"{ts * 1e3:.0f} ms/batch ({nq / ts:.0f} QPS solo)")
         del graph, sketch, xs, searcher
 
@@ -131,8 +134,8 @@ def main():
     blob_path = ROOT / "BENCH_SHARDED.json"
     blob = json.loads(blob_path.read_text()) if blob_path.exists() else {}
     best = None
-    for ef, promote, max_iters, xw in points:
-        a = acc[(ef, promote, max_iters, xw)]
+    for ef, promote, max_iters, xw, fr in points:
+        a = acc[(ef, promote, max_iters, xw, fr)]
         d_cat = np.concatenate(a["d"], axis=1)
         i_cat = np.concatenate(a["i"], axis=1)
         t0 = time.perf_counter()
@@ -149,7 +152,8 @@ def main():
             "per_shard_n": n_shard,
             "sketch_dims": 48, "reverse_slack": 20,
             "structural_bucket": 1_310_720,
-            "gate": f"sketch_ef{ef}_p{promote}_i{max_iters}_x{xw}_r65536",
+            "gate": (f"sketch_ef{ef}_p{promote}_i{max_iters}_x{xw}"
+                     f"_fr{fr}_r65536"),
             "recall_vs_10m_gt": round(rec, 4),
             **({"below_gate": True} if rec < 0.9 else {}),
             "build_s_per_shard": [round(t, 1) for t in build_times],

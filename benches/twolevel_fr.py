@@ -64,18 +64,43 @@ def main():
         print(json.dumps(row), flush=True)
         return row
 
-    rows = [
-        run("control_i20"),                                   # adopted rung
-        run("i12_fr128", max_iters=12, final_rescore=128),
-        run("i12_fr64", max_iters=12, final_rescore=64),
-        run("i14_fr128", max_iters=14, final_rescore=128),
-        run("i10_fr128", max_iters=10, final_rescore=128),
-        run("i12_p16_fr128", max_iters=12, promote_width=16,
-            final_rescore=128),
-        run("i14_p16_fr128", max_iters=14, promote_width=16,
-            final_rescore=128),
-    ]
-    out = pathlib.Path(__file__).resolve().parent.parent / "BENCH_C4_FR.json"
+    if len(sys.argv) > 1 and sys.argv[1] == "phase2":
+        # Margin hunt around the phase-1 winner (i14/p16/fr128 = 18,325 @
+        # .9032 — gate margin .0032 too thin to adopt): walk iterations up
+        # for a >= .91 rung, probe fr64 (cheaper recovery), and try the
+        # untried wider-AQ deeper-recovery lever (aq_width default is
+        # max(ef, 64) = 128 here; 192/256 retains more found-but-evicted
+        # candidates for the final rescore at a small AQ-sort cost).
+        rows = [
+            run("i14_p16_fr128", max_iters=14, promote_width=16,
+                final_rescore=128),                       # phase-1 winner
+            run("i16_p16_fr128", max_iters=16, promote_width=16,
+                final_rescore=128),
+            run("i18_p16_fr128", max_iters=18, promote_width=16,
+                final_rescore=128),
+            run("i16_fr128", max_iters=16, final_rescore=128),
+            run("i14_p16_fr64", max_iters=14, promote_width=16,
+                final_rescore=64),
+            run("i14_p16_aq192_fr192", max_iters=14, promote_width=16,
+                aq_width=192, final_rescore=192),
+            run("i12_p16_aq256_fr256", max_iters=12, promote_width=16,
+                aq_width=256, final_rescore=256),
+        ]
+        name = "BENCH_C4_FR2.json"
+    else:
+        rows = [
+            run("control_i20"),                               # adopted rung
+            run("i12_fr128", max_iters=12, final_rescore=128),
+            run("i12_fr64", max_iters=12, final_rescore=64),
+            run("i14_fr128", max_iters=14, final_rescore=128),
+            run("i10_fr128", max_iters=10, final_rescore=128),
+            run("i12_p16_fr128", max_iters=12, promote_width=16,
+                final_rescore=128),
+            run("i14_p16_fr128", max_iters=14, promote_width=16,
+                final_rescore=128),
+        ]
+        name = "BENCH_C4_FR.json"
+    out = pathlib.Path(__file__).resolve().parent.parent / name
     out.write_text(json.dumps(rows, indent=1))
 
 

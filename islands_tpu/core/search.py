@@ -1051,6 +1051,7 @@ class StoredSearcher:
         promote_width: int | None = None,
         static_loop: bool = False,
         final_rescore: int = 0,
+        aq_width: int | None = None,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
         empty results (reference: leann.rs:875-877). `promote_width` (sketch
@@ -1059,7 +1060,10 @@ class StoredSearcher:
         sketch-gated hop loop as a fixed-trip scan (see _run_hops; wins when
         the max_iters cap binds, fact 23). `final_rescore` exact-rescores
         that many approximate-queue heads once after the loop — the
-        recall-recovery half of a narrow-promote operating point."""
+        recall-recovery half of a narrow-promote operating point.
+        `aq_width` (sketch gate) overrides the approximate-queue width
+        (default max(ef, 64)); wider retains more found-but-evicted
+        candidates for final_rescore to recover, at a small merge cost."""
         if self.graph.num_nodes == 0:
             b = queries.shape[0]
             return jnp.zeros((b, 0), jnp.float32), jnp.zeros((b, 0), jnp.int32)
@@ -1081,7 +1085,8 @@ class StoredSearcher:
                 self.graph.neighbors, self.sketch.nbr_sketch,
                 self.sketch.node_sketch, self._routing,
                 exact_scorer=self._scorer, metric=self.metric,
-                dim=int(qp.shape[1]), ef=ef, k=k, aq_width=max(ef, 64),
+                dim=int(qp.shape[1]), ef=ef, k=k,
+                aq_width=aq_width or max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
                 max_iters=max_iters, static_iters=static_loop,
                 final_rescore=final_rescore,

@@ -541,7 +541,7 @@ class ArchipelagoSearcher:
 
     def _make(self, k: int, ef: int, expand_width: int, max_iters: int,
               gate: str, promote_width: int | None = None,
-              static_loop: bool = False):
+              static_loop: bool = False, final_rescore: int = 0):
         idx = self.index
         mesh = idx.mesh
         metric = idx.metric
@@ -591,6 +591,7 @@ class ArchipelagoSearcher:
                     expand_width=expand_width,
                     max_iters=max_iters,
                     static_iters=static_loop,
+                    final_rescore=final_rescore,
                 )
                 d_loc, i_loc, _ = jax.vmap(
                     lambda q1, s1, e1: search(q1, s1, ctx, scale, entry_point=e1)
@@ -698,12 +699,16 @@ class ArchipelagoSearcher:
         gate: str = "auto",
         promote_width: int | None = None,
         static_loop: bool = False,
+        final_rescore: int = 0,
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]) with global ids.
         B must be divisible by the mesh 'dp' axis size. `promote_width`
         (sketch gate) caps per-hop exact scoring per shard — same knob as
         StoredSearcher/LeannIndex (design.md #13). `static_loop` runs the
-        sketch-gated hop loop as a fixed-trip scan (search._run_hops)."""
+        sketch-gated hop loop as a fixed-trip scan (search._run_hops).
+        `final_rescore` (sketch gate) exact-rescores that many AQ heads
+        once per shard after the loop, before the cross-shard merge —
+        same knob as StoredSearcher (design.md §21)."""
         idx = self.index
         ef = max(ef, k)
         if gate == "auto":
@@ -729,10 +734,11 @@ class ArchipelagoSearcher:
         # cache is shared across searcher instances.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
                max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch,
-               promote_width, static_loop)
+               promote_width, static_loop, final_rescore)
         if key not in self._cache:
             self._cache[key] = self._make(k, ef, expand_width, max_iters,
-                                          gate, promote_width, static_loop)
+                                          gate, promote_width, static_loop,
+                                          final_rescore)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
         if gate == "sketch":
             return self._cache[key](

@@ -324,3 +324,33 @@ def test_sharded_promote_width_knob():
     r_w = _recall(np.asarray(ids_w), tids)
     assert r_w >= r_n - 0.02, (r_n, r_w)
     assert r_w >= 0.8, r_w
+
+
+def test_sharded_final_rescore_knob():
+    """final_rescore plumbs through the sharded sketch gate (design.md
+    §21): one exact rescore of the per-shard AQ head before the
+    cross-shard merge. At a narrow promote_width it must recover recall
+    (>= the no-fr point), and results stay valid/sorted."""
+    n, dim, k = 1024, 32, 10
+    x = clustered(n, dim, seed=42)
+    q = clustered(32, dim, seed=43)
+    mesh = make_mesh(n_shards=4, n_dp=1)
+    cfg = small_config(metric=DistanceMetric.EUCLIDEAN)
+    idx = build_sharded(x, cfg, mesh, with_sketch=True)
+
+    s = ArchipelagoSearcher(idx)
+    _, tids = D.brute_force_topk(q, x, k, cfg.metric)
+    tids = np.asarray(tids)
+    kw = dict(k=k, ef=64, gate="sketch", max_iters=6, promote_width=8)
+    d0, ids0 = s.search(q, **kw)
+    d1, ids1 = s.search(q, **kw, final_rescore=32)
+    r0 = _recall(np.asarray(ids0), tids)
+    r1 = _recall(np.asarray(ids1), tids)
+    assert r1 >= r0 - 1e-9, (r0, r1)
+    d1, ids1 = np.asarray(d1), np.asarray(ids1)
+    assert np.all((ids1 >= 0) & (ids1 < n))
+    assert np.all(np.diff(d1, axis=1) >= -1e-5)
+    # No duplicate ids within a query's result row (the AQ/pool merge is
+    # disjoint by construction, design.md §21).
+    for i in range(ids1.shape[0]):
+        assert len(set(ids1[i].tolist())) == k
