@@ -284,10 +284,10 @@ def config4_pq_1m_768():
     # .9 is timed median-of-3.
     chosen = None
     for ef, mi, rs, xw, pw, fr in (
-        (128, 14, 65536, 2, 16, 128),   # 18,325 @ .9032 (BENCH_C4_FR)
-        (128, 16, 65536, 2, 16, 128),   # margin rung (BENCH_C4_FR2)
-        (128, 14, 65536, 2, None, 128),  # 16,822 @ .9031
-        (128, 20, 65536, 2, None, 0),    # round-4 control, .9353
+        (128, 16, 65536, 2, 16, 64),    # 18,772 @ .9164 (BENCH_C4_FR3)
+        (128, 14, 65536, 2, 24, 64),    # 19,234 @ .9032
+        (128, 18, 65536, 2, 16, 64),    # 18,148 @ .9276 margin
+        (128, 20, 65536, 2, None, 0),   # round-4 control, .9353
         (128, 24, 65536, 2, None, 0),
         (128, 32, 65536, 4, None, 0),
         (256, None, None, 4, None, 0),

@@ -64,7 +64,23 @@ def main():
         print(json.dumps(row), flush=True)
         return row
 
-    if len(sys.argv) > 1 and sys.argv[1] == "phase2":
+    if len(sys.argv) > 1 and sys.argv[1] == "phase3":
+        # fr64 frontier refinement: phase-2 found fr64 strictly beats
+        # fr128 at i14/p16 (20,509 @ .9021 vs 17,965 @ .9032 — the extra
+        # 64 row-fetches/query buy nothing at 768-d). Find the fr64
+        # margin rung and check p24.
+        rows = [
+            run("i14_p16_fr64", max_iters=14, promote_width=16,
+                final_rescore=64),                        # phase-2 winner
+            run("i16_p16_fr64", max_iters=16, promote_width=16,
+                final_rescore=64),
+            run("i18_p16_fr64", max_iters=18, promote_width=16,
+                final_rescore=64),
+            run("i14_p24_fr64", max_iters=14, promote_width=24,
+                final_rescore=64),
+        ]
+        name = "BENCH_C4_FR3.json"
+    elif len(sys.argv) > 1 and sys.argv[1] == "phase2":
         # Margin hunt around the phase-1 winner (i14/p16/fr128 = 18,325 @
         # .9032 — gate margin .0032 too thin to adopt): walk iterations up
         # for a >= .91 rung, probe fr64 (cheaper recovery), and try the
