@@ -357,10 +357,17 @@ def main():
         r = fn()
         results.append(r)
         print(json.dumps(r), flush=True)
+    out = Path(__file__).resolve().parent / "BENCH_EXTRA.json"
     if which == "all":
-        Path(__file__).resolve().parent.joinpath("BENCH_EXTRA.json").write_text(
-            json.dumps(results, indent=1)
-        )
+        out.write_text(json.dumps(results, indent=1))
+    elif results:
+        # Single-config run: merge by metric name so configs measured in
+        # separate solo chip sessions (fact 29) accumulate in one artifact.
+        rows = json.loads(out.read_text()) if out.exists() else []
+        by_metric = {r.get("metric"): r for r in rows}
+        for r in results:
+            by_metric[r["metric"]] = r
+        out.write_text(json.dumps(list(by_metric.values()), indent=1))
 
 
 if __name__ == "__main__":
