@@ -335,3 +335,227 @@ def pairwise_neg_dot(q: Array, x: Array, use_pallas: bool = False) -> Array:
         q.astype(jnp.float32), x.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused hop-merge: the sketch-gated hop loop's dedup + sort + AQ-merge network
+# ---------------------------------------------------------------------------
+
+_HOLE = 0x3FFFFFFF  # sorts after every real id (n < 2^30)
+_SENTINEL = -1
+
+
+def _ce_rows(d, i, h, desc, tie_break_ids):
+    """One bitonic compare-exchange stage along axis 0 (rows = elements,
+    lanes = queries): row j pairs with row j XOR h.
+
+    `desc` [L, 1] bool marks rows inside descending-direction blocks.
+    XOR-partner addressing via two static rolls + an iota select, so the
+    lane (query) axis is never reshaped — every op is elementwise over a
+    [L, Q] tile, which is the whole point of running this in VMEM: XLA's
+    stage-by-stage lowering round-trips ~16 MB of pool state to HBM per
+    stage (benches/sort_micro.py), a Pallas program does ~70 stages on
+    VMEM-resident state with one HBM read and one write total.
+    """
+    L = d.shape[0]
+    up = (jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) & h) == 0
+    dp = jnp.where(up, jnp.roll(d, -h, axis=0), jnp.roll(d, h, axis=0))
+    ip = jnp.where(up, jnp.roll(i, -h, axis=0), jnp.roll(i, h, axis=0))
+    if tie_break_ids:
+        p_less = (dp < d) | ((dp == d) & (ip < i))
+        p_greater = (dp > d) | ((dp == d) & (ip > i))
+    else:
+        p_less = dp < d
+        p_greater = dp > d
+    # A slot takes its partner's (value, aux) only when the partner is
+    # STRICTLY better for the order the slot wants — on exact key ties
+    # both partners keep their own pair, so no aux is lost or duplicated
+    # (take_p = p_less == want_min would duplicate the low partner's aux
+    # into both slots whenever keys tie).
+    want_min = up ^ desc
+    # bitwise form: Mosaic cannot lower a select between two i1 vectors
+    take_p = (want_min & p_less) | (~want_min & p_greater)
+    return jnp.where(take_p, dp, d), jnp.where(take_p, ip, i)
+
+
+def _bitonic_sort_rows(d, i, *, descending=False, tie_break_ids=False):
+    """Full bitonic sort along axis 0 of [L, Q], carrying one aux operand."""
+    L = d.shape[0]
+    assert L & (L - 1) == 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    k = 2
+    while k <= L:
+        h = k // 2
+        while h >= 1:
+            desc = (iota & k) != 0 if k < L else jnp.full(
+                (L, 1), descending)
+            if k < L and descending:
+                desc = ~desc
+            d, i = _ce_rows(d, i, h, desc, tie_break_ids)
+            h //= 2
+        k *= 2
+    return d, i
+
+
+def _bitonic_merge_rows(d, i):
+    """Merge a bitonic [L, Q] sequence (asc run then desc run) ascending."""
+    L = d.shape[0]
+    assert L & (L - 1) == 0
+    desc = jnp.zeros((L, 1), bool)
+    h = L // 2
+    while h >= 1:
+        d, i = _ce_rows(d, i, h, desc, False)
+        h //= 2
+    return d, i
+
+
+def _hop_merge_kernel(nd_ref, ni_ref, aqd_ref, aqi_ref,
+                      pd_ref, pi_ref, od_ref, oi_ref, *,
+                      pw: int, aqw: int, pad_between: int):
+    """One query block: dedup the new discoveries, merge them with the
+    sorted approximate queue, split off the promote head.
+
+    State is TRANSPOSED — elements on rows, queries on lanes — so every
+    sort stage is a static sublane roll + elementwise select and the lane
+    axis is never permuted.
+    """
+    nd = nd_ref[...]          # [Ep, Q] f32, +inf at invalid
+    ni = ni_ref[...]          # [Ep, Q] i32, _HOLE at invalid
+
+    # 1. sort by id (asc) so duplicates are adjacent; invalid sort last.
+    ni, nd = _bitonic_sort_rows(ni, nd)
+    # 2. mark adjacent duplicates (same id => same sketch distance).
+    prev = jnp.roll(ni, 1, axis=0)
+    first = jax.lax.broadcasted_iota(jnp.int32, ni.shape, 0) == 0
+    dup = (ni == prev) & ~first & (ni != _HOLE)
+    nd = jnp.where(dup, jnp.inf, nd)
+    ni = jnp.where(dup, _HOLE, ni)
+    # 3. sort by distance DESCENDING: +inf invalids lead, best trail —
+    #    exactly the descending run the bitonic merge wants.
+    nd, ni = _bitonic_sort_rows(nd, ni, descending=True)
+    # 4. asc(aq) ++ +inf pad ++ desc(new) is bitonic; one merge pass.
+    q = nd.shape[1]
+    pad_d = jnp.full((pad_between, q), jnp.inf, nd.dtype)
+    pad_i = jnp.full((pad_between, q), _HOLE, ni.dtype)
+    cd = jnp.concatenate([aqd_ref[...], pad_d, nd], axis=0)
+    ci = jnp.concatenate([aqi_ref[...], pad_i, ni], axis=0)
+    cd, ci = _bitonic_merge_rows(cd, ci)
+    ci = jnp.where(jnp.isinf(cd), _SENTINEL, ci)
+    pd_ref[...] = cd[:pw]
+    pi_ref[...] = ci[:pw]
+    od_ref[...] = cd[pw:pw + aqw]
+    oi_ref[...] = ci[pw:pw + aqw]
+
+
+@functools.partial(jax.jit, static_argnames=("promote_width", "q_block"))
+def _hop_merge_pallas(nd: Array, ni: Array, aqd: Array, aqi: Array,
+                      *, promote_width: int, q_block: int = 512):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, e = nd.shape
+    aqw = aqd.shape[1]
+    ep = 8
+    while ep < e:  # power of two (the sort networks need it)
+        ep *= 2
+    tot2 = 1
+    while tot2 < aqw + ep:
+        tot2 *= 2
+    pad_between = tot2 - aqw - ep
+    bp = _round_up(b, q_block)
+
+    # element-major layout: [B, E] -> [Ep, Bp]
+    ndt = jnp.full((ep, bp), jnp.inf, jnp.float32)
+    ndt = ndt.at[:e, :b].set(nd.T.astype(jnp.float32))
+    nit = jnp.full((ep, bp), _HOLE, jnp.int32)
+    nit = nit.at[:e, :b].set(jnp.where(nd.T == jnp.inf, _HOLE,
+                                       ni.T.astype(jnp.int32)))
+    aqdt = jnp.full((aqw, bp), jnp.inf, jnp.float32)
+    aqdt = aqdt.at[:, :b].set(aqd.T.astype(jnp.float32))
+    aqit = jnp.full((aqw, bp), _SENTINEL, jnp.int32)
+    aqit = aqit.at[:, :b].set(aqi.T.astype(jnp.int32))
+    # aq invalid slots must sort last but keep SENTINEL on output; the
+    # kernel maps inf -> SENTINEL at the end, so their id value in the
+    # merge does not matter.
+
+    grid = (bp // q_block,)
+    specs = lambda rows: pl.BlockSpec((rows, q_block), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+    pd, pi, od, oi = pl.pallas_call(
+        functools.partial(_hop_merge_kernel, pw=promote_width, aqw=aqw,
+                          pad_between=pad_between),
+        out_shape=(
+            jax.ShapeDtypeStruct((promote_width, bp), jnp.float32),
+            jax.ShapeDtypeStruct((promote_width, bp), jnp.int32),
+            jax.ShapeDtypeStruct((aqw, bp), jnp.float32),
+            jax.ShapeDtypeStruct((aqw, bp), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[specs(ep), specs(ep), specs(aqw), specs(aqw)],
+        out_specs=(specs(promote_width), specs(promote_width),
+                   specs(aqw), specs(aqw)),
+    )(ndt, nit, aqdt, aqit)
+    return (pd[:, :b].T, pi[:, :b].T, od[:, :b].T, oi[:, :b].T)
+
+
+def _hop_merge_xla(nd: Array, ni: Array, aqd: Array, aqi: Array,
+                   *, promote_width: int):
+    """Reference composition (today's hop-loop sequence) for one query or a
+    leading batch dim: sort-by-id dedup, bitonic AQ merge, promote split."""
+    from islands_tpu.ops.merge import merge_sorted_with_new
+
+    # Invalid (+inf) slots get a distinct giant id so the adjacent-dedup
+    # can never pair them with a valid occurrence of the same node (the
+    # Pallas path remaps identically at layout time).
+    ni = jnp.where(jnp.isinf(nd), _HOLE, ni)
+    sorted_ids, d_sorted = jax.lax.sort((ni, nd), num_keys=1)
+    prev = jnp.concatenate(
+        [jnp.full((*sorted_ids.shape[:-1], 1), -2, sorted_ids.dtype),
+         sorted_ids[..., :-1]], axis=-1)
+    keep = (d_sorted < jnp.inf) & (sorted_ids != prev)
+    new_ids = jnp.where(keep, sorted_ids, _SENTINEL).astype(jnp.int32)
+    new_d = jnp.where(keep, d_sorted, jnp.inf)
+    mg_d, mg_i = merge_sorted_with_new(aqd, aqi, new_d, new_ids)
+    pw = promote_width
+    return (mg_d[..., :pw], mg_i[..., :pw],
+            mg_d[..., pw:pw + aqd.shape[-1]],
+            mg_i[..., pw:pw + aqd.shape[-1]])
+
+
+_HOP_MERGE_OPS: dict = {}
+
+
+def hop_merge_op_for(promote_width: int):
+    """Cached custom-vmap hop-merge op for the sketch-gated search loop.
+
+    Single-query calls (and non-TPU platforms) run the XLA composition;
+    tracing vmap(search) swaps in one whole-batch Pallas kernel per hop
+    (same pattern as pq.gated_block_scorer_for). Inputs: nd/ni [E] approx
+    distances (+inf invalid) and ids (any value at invalid slots), aqd/aqi
+    [A] the sorted approximate queue. Returns (prom_d [pw], prom_i [pw],
+    aq_d' [A], aq_i' [A]) with SENTINEL ids at invalid slots."""
+    if promote_width in _HOP_MERGE_OPS:
+        return _HOP_MERGE_OPS[promote_width]
+
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def op(nd, ni, aqd, aqi):
+        return _hop_merge_xla(nd, ni, aqd, aqi,
+                              promote_width=promote_width)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, nd, ni, aqd, aqi):
+        args = []
+        for a, batched in zip((nd, ni, aqd, aqi), in_batched):
+            if not batched:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            args.append(a)
+        if _on_tpu():
+            out = _hop_merge_pallas(*args, promote_width=promote_width)
+        else:
+            out = _hop_merge_xla(*args, promote_width=promote_width)
+        return out, (True, True, True, True)
+
+    _HOP_MERGE_OPS[promote_width] = op
+    return op
