@@ -226,13 +226,21 @@ def main():
     searcher = StoredSearcher(graph, x, metric, sketch=sketch,
                               routing_size=65536)
 
+    # Fused Pallas hop-merge (ops/pallas_kernels.hop_merge_op_for): the
+    # id-sort dedup + AQ bitonic merge + promote split run as one
+    # VMEM-resident program per query block. Bit-identical results at every
+    # rung (BENCH_HOP_FUSED.json: recall equal to 4 decimals, ids parity
+    # tested) and a +1.5-3% QPS edge on the sketch gate; exact gate rungs
+    # ignore the knob (no AQ).
+    HOP_MERGE = "fused"
+
     def run(ef, gate, promote=None, max_iters=None, xw=4, fr=0):
         ids_all = []
         for s in range(0, N_QUERIES, QUERY_BATCH):
             _, ids = searcher.search(
                 queries[s : s + QUERY_BATCH], k=10, ef=ef, expand_width=xw,
                 gate=gate, promote_width=promote, max_iters=max_iters,
-                final_rescore=fr,
+                final_rescore=fr, hop_merge=HOP_MERGE,
             )
             ids_all.append(np.asarray(ids))
         return np.concatenate(ids_all)
@@ -253,7 +261,7 @@ def main():
                     queries[s : s + QUERY_BATCH], k=10, ef=ef,
                     expand_width=xw,
                     gate=gate, promote_width=promote, max_iters=max_iters,
-                    final_rescore=fr,
+                    final_rescore=fr, hop_merge=HOP_MERGE,
                 )
             jax.block_until_ready((d, i))
         return N_QUERIES / ((time.perf_counter() - t0) / reps)

@@ -295,7 +295,8 @@ def config4_pq_1m_768():
         _, ids = idx.search_two_level(q_dev, k=10, provider=provider,
                                       ef=ef, rerank_ratio=0.25, max_iters=mi,
                                       routing_size=rs, expand_width=xw,
-                                      promote_width=pw, final_rescore=fr)
+                                      promote_width=pw, final_rescore=fr,
+                                      hop_merge="fused")
         rec = _recall(np.asarray(ids), true_ids)
         if rec >= 0.9:
             chosen = (ef, mi, rs, xw, pw, fr, rec)
@@ -309,7 +310,8 @@ def config4_pq_1m_768():
         d, i = idx.search_two_level(queries, k=10, provider=provider,
                                     ef=ef, rerank_ratio=0.25, max_iters=mi,
                                     routing_size=rs, expand_width=xw,
-                                    promote_width=pw, final_rescore=fr)
+                                    promote_width=pw, final_rescore=fr,
+                                    hop_merge="fused")
         jax.block_until_ready((d, i))
         return NQ / (time.perf_counter() - t0)
 
@@ -331,6 +333,7 @@ def config4_pq_1m_768():
         "promote_width": pw,
         "final_rescore": fr,
         "adc_impl": "grouped",
+        "hop_merge": "fused",
         "build_seconds": round(build_s, 2),
         "recompute_fraction": round(idx.last_recompute_fraction or 0, 5),
         "index_bytes_per_vector": round(idx.storage_bytes() / N, 1),

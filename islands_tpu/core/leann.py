@@ -351,6 +351,7 @@ class LeannIndex:
         static_loop: bool | None = None,
         adc_impl: str = "grouped",
         final_rescore: int = 0,
+        hop_merge: str = "inline",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-level search: PQ-ADC approximate queue gates which candidates
         get exact (recomputed) scoring (docs/leann-specification.md:223-271).
@@ -428,6 +429,7 @@ class LeannIndex:
             promote_exact=not end_rerank,
             static_iters=bool(static_loop),
             final_rescore=final_rescore,
+            hop_merge=hop_merge,
         )
         self.last_recompute_fraction = float(jnp.mean(n_exact)) / max(self.num_nodes, 1)
         dists, ids = np.asarray(dists[:, :k]), np.asarray(ids[:, :k])

@@ -471,6 +471,7 @@ def _search_one_sketch_gated(
     max_iters: int,
     static_iters: bool = False,
     final_rescore: int = 0,
+    hop_merge: str = "inline",
 ) -> tuple[Array, Array, Array]:
     """Two-level sketch-gated search for a single query (spec Algorithm 2,
     docs/leann-specification.md:223-271, with the inline-neighbor sketch as
@@ -551,25 +552,43 @@ def _search_one_sketch_gated(
         d_approx = jnp.where(nbr_valid, d_approx, _INF)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
 
-        sorted_ids, d_approx = jax.lax.sort((nbr_ids, d_approx), num_keys=1)
-        prev = jnp.concatenate(
-            [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
-        )
-        keep = (sorted_ids < n) & (sorted_ids != prev)
-        keep = keep & _not_in_set(sorted_ids, aq_ids)
-        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
+        if hop_merge == "fused":
+            # Fused dedup + AQ merge + promote split (ops/pallas_kernels.
+            # hop_merge_op_for): membership dedup vs AQ/pool stays out here
+            # (order-free equality matrices); the id-sort dedup, descending
+            # pre-sort, bitonic AQ merge and promote split all run in one
+            # VMEM-resident Pallas program per query block when batched.
+            from islands_tpu.ops.pallas_kernels import hop_merge_op_for
 
-        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
-        new_d = jnp.where(keep, d_approx, _INF)
+            keep = (nbr_ids < n) & _not_in_set(nbr_ids, aq_ids)
+            keep = keep & _not_in_set(nbr_ids, pool_code >> 1)
+            nd = jnp.where(keep, d_approx, _INF)
+            ni = jnp.where(keep, nbr_ids, n).astype(jnp.int32)
+            prom_d, prom_ids, aq_dists, aq_ids = hop_merge_op_for(
+                promote_width)(nd, ni, aq_dists, aq_ids)
+            prom_valid = prom_d < _INF
+        else:
+            sorted_ids, d_approx = jax.lax.sort(
+                (nbr_ids, d_approx), num_keys=1)
+            prev = jnp.concatenate(
+                [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
+            )
+            keep = (sorted_ids < n) & (sorted_ids != prev)
+            keep = keep & _not_in_set(sorted_ids, aq_ids)
+            keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
-        # --- bitonic-merge into the approximate queue (ops/merge) ---
-        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, new_d, new_ids)
+            new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+            new_d = jnp.where(keep, d_approx, _INF)
 
-        # --- Phase 2: promote best promote_width AQ entries to exact ---
-        prom_ids = aq_i[:promote_width]
-        prom_valid = aq_d[:promote_width] < _INF
-        aq_dists = aq_d[promote_width : promote_width + aq_width]
-        aq_ids = aq_i[promote_width : promote_width + aq_width]
+            # --- bitonic-merge into the approximate queue (ops/merge) ---
+            aq_d, aq_i = merge_sorted_with_new(
+                aq_dists, aq_ids, new_d, new_ids)
+
+            # --- Phase 2: promote best promote_width AQ entries to exact --
+            prom_ids = aq_i[:promote_width]
+            prom_valid = aq_d[:promote_width] < _INF
+            aq_dists = aq_d[promote_width : promote_width + aq_width]
+            aq_ids = aq_i[promote_width : promote_width + aq_width]
 
         d_exact = exact_scorer(
             exact_ctx, q, jnp.where(prom_valid, prom_ids, 0), prom_valid
@@ -614,7 +633,7 @@ def _search_one_sketch_gated(
     static_argnames=(
         "exact_scorer", "metric", "dim", "ef", "k", "aq_width",
         "promote_width", "expand_width", "max_iters", "static_iters",
-        "final_rescore",
+        "final_rescore", "hop_merge",
     ),
 )
 def batched_sketch_gated_query(
@@ -638,6 +657,7 @@ def batched_sketch_gated_query(
     max_iters: int = 100,
     static_iters: bool = False,
     final_rescore: int = 0,
+    hop_merge: str = "inline",
 ) -> tuple[Array, Array, Array]:
     """Batched two-level sketch-gated query with per-query routing entries.
 
@@ -662,6 +682,7 @@ def batched_sketch_gated_query(
         max_iters=max_iters,
         static_iters=static_iters,
         final_rescore=final_rescore,
+        hop_merge=hop_merge,
     )
     dists, ids, n_exact = jax.vmap(
         lambda q1, s1, e1: search(q1, s1, exact_ctx, scale, entry_point=e1)
@@ -738,6 +759,7 @@ def _search_one_two_level(
     promote_exact: bool = True,
     static_iters: bool = False,
     final_rescore: int = 0,
+    hop_merge: str = "inline",
 ) -> tuple[Array, Array, Array]:
     """Two-level PQ-gated search (spec Algorithm 2,
     docs/leann-specification.md:223-271) for a single query.
@@ -819,28 +841,44 @@ def _search_one_two_level(
         d_approx = approx_scorer(tables, blocks.reshape(em, -1), nbr_valid)
         nbr_ids = jnp.where(nbr_valid, nbr_ids, n)
 
-        # Sort by id (carrying the ADC distance), mask duplicates, then the
-        # scatter-free visited checks: not in the approximate queue and not
-        # in the exact pool (see _not_in_set for the monotonicity argument).
-        sorted_ids, d_approx = jax.lax.sort((nbr_ids, d_approx), num_keys=1)
-        prev = jnp.concatenate(
-            [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
-        )
-        keep = (sorted_ids < n) & (sorted_ids != prev)
-        keep = keep & _not_in_set(sorted_ids, aq_ids)
-        keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
+        if hop_merge == "fused":
+            # Fused dedup + AQ merge + promote split (ops/pallas_kernels.
+            # hop_merge_op_for; see the sketch-gated loop above).
+            from islands_tpu.ops.pallas_kernels import hop_merge_op_for
 
-        new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
-        new_d = jnp.where(keep, d_approx, _INF)
+            keep = (nbr_ids < n) & _not_in_set(nbr_ids, aq_ids)
+            keep = keep & _not_in_set(nbr_ids, pool_code >> 1)
+            nd = jnp.where(keep, d_approx, _INF)
+            ni = jnp.where(keep, nbr_ids, n).astype(jnp.int32)
+            prom_d, prom_ids, aq_dists, aq_ids = hop_merge_op_for(
+                promote_width)(nd, ni, aq_dists, aq_ids)
+            prom_valid = prom_d < _INF
+        else:
+            # Sort by id (carrying the ADC distance), mask duplicates, then
+            # the scatter-free visited checks: not in the approximate queue
+            # and not in the exact pool (see _not_in_set).
+            sorted_ids, d_approx = jax.lax.sort(
+                (nbr_ids, d_approx), num_keys=1)
+            prev = jnp.concatenate(
+                [jnp.full((1,), -2, dtype=sorted_ids.dtype), sorted_ids[:-1]]
+            )
+            keep = (sorted_ids < n) & (sorted_ids != prev)
+            keep = keep & _not_in_set(sorted_ids, aq_ids)
+            keep = keep & _not_in_set(sorted_ids, pool_code >> 1)
 
-        # --- bitonic-merge into the approximate queue (ops/merge) ---
-        aq_d, aq_i = merge_sorted_with_new(aq_dists, aq_ids, new_d, new_ids)
+            new_ids = jnp.where(keep, sorted_ids, SENTINEL).astype(jnp.int32)
+            new_d = jnp.where(keep, d_approx, _INF)
 
-        # --- Phase 2: promote best promote_width AQ entries to exact ---
-        prom_ids = aq_i[:promote_width]
-        prom_valid = aq_d[:promote_width] < _INF
-        aq_dists = aq_d[promote_width : promote_width + aq_width]
-        aq_ids = aq_i[promote_width : promote_width + aq_width]
+            # --- bitonic-merge into the approximate queue (ops/merge) ---
+            aq_d, aq_i = merge_sorted_with_new(
+                aq_dists, aq_ids, new_d, new_ids)
+
+            # --- Phase 2: promote best promote_width AQ entries to exact --
+            prom_ids = aq_i[:promote_width]
+            prom_valid = aq_d[:promote_width] < _INF
+            prom_d = aq_d[:promote_width]
+            aq_dists = aq_d[promote_width : promote_width + aq_width]
+            aq_ids = aq_i[promote_width : promote_width + aq_width]
 
         if promote_exact:
             d_exact = exact_scorer(
@@ -850,7 +888,7 @@ def _search_one_two_level(
         else:
             # Pure-ADC hop: the AQ head enters the pool at its approximate
             # distance; exact scoring happens once, after the loop.
-            d_exact = jnp.where(prom_valid, aq_d[:promote_width], _INF)
+            d_exact = jnp.where(prom_valid, prom_d, _INF)
 
         prom_code = pack_id_expanded(
             jnp.where(prom_valid, prom_ids, SENTINEL), ~prom_valid
@@ -938,7 +976,7 @@ def batched_search(
     static_argnames=(
         "exact_scorer", "approx_scorer", "prep_fn", "ef", "aq_width",
         "promote_width", "expand_width", "max_iters", "promote_exact",
-        "static_iters", "final_rescore",
+        "static_iters", "final_rescore", "hop_merge",
     ),
 )
 def batched_two_level_search(
@@ -960,6 +998,7 @@ def batched_two_level_search(
     promote_exact: bool = True,
     static_iters: bool = False,
     final_rescore: int = 0,
+    hop_merge: str = "inline",
 ) -> tuple[Array, Array, Array]:
     """Two-level batched search over inline neighbor-code blocks
     (`nbr_codes` [N, m0*S] u8, pq.build_inline_codes; `approx_scorer` from
@@ -983,6 +1022,7 @@ def batched_two_level_search(
         promote_exact=promote_exact,
         static_iters=static_iters,
         final_rescore=final_rescore,
+        hop_merge=hop_merge,
     )
     if jnp.ndim(entry_point) == 0:
         return jax.vmap(
@@ -1052,6 +1092,7 @@ class StoredSearcher:
         static_loop: bool = False,
         final_rescore: int = 0,
         aq_width: int | None = None,
+        hop_merge: str = "inline",
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]). Empty index returns
         empty results (reference: leann.rs:875-877). `promote_width` (sketch
@@ -1089,7 +1130,7 @@ class StoredSearcher:
                 aq_width=aq_width or max(ef, 64),
                 promote_width=promote, expand_width=expand_width,
                 max_iters=max_iters, static_iters=static_loop,
-                final_rescore=final_rescore,
+                final_rescore=final_rescore, hop_merge=hop_merge,
             )
             return d, ids
         if max_iters is None:

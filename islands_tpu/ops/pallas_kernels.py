@@ -434,11 +434,15 @@ def _hop_merge_kernel(nd_ref, ni_ref, aqd_ref, aqi_ref,
     #    exactly the descending run the bitonic merge wants.
     nd, ni = _bitonic_sort_rows(nd, ni, descending=True)
     # 4. asc(aq) ++ +inf pad ++ desc(new) is bitonic; one merge pass.
+    # (pad_between == 0 must skip the empty operand: Mosaic rejects
+    # zero-row vector types.)
     q = nd.shape[1]
-    pad_d = jnp.full((pad_between, q), jnp.inf, nd.dtype)
-    pad_i = jnp.full((pad_between, q), _HOLE, ni.dtype)
-    cd = jnp.concatenate([aqd_ref[...], pad_d, nd], axis=0)
-    ci = jnp.concatenate([aqi_ref[...], pad_i, ni], axis=0)
+    parts_d, parts_i = [aqd_ref[...]], [aqi_ref[...]]
+    if pad_between:
+        parts_d.append(jnp.full((pad_between, q), jnp.inf, nd.dtype))
+        parts_i.append(jnp.full((pad_between, q), _HOLE, ni.dtype))
+    cd = jnp.concatenate(parts_d + [nd], axis=0)
+    ci = jnp.concatenate(parts_i + [ni], axis=0)
     cd, ci = _bitonic_merge_rows(cd, ci)
     ci = jnp.where(jnp.isinf(cd), _SENTINEL, ci)
     pd_ref[...] = cd[:pw]
@@ -447,9 +451,11 @@ def _hop_merge_kernel(nd_ref, ni_ref, aqd_ref, aqi_ref,
     oi_ref[...] = ci[pw:pw + aqw]
 
 
-@functools.partial(jax.jit, static_argnames=("promote_width", "q_block"))
+@functools.partial(jax.jit,
+                   static_argnames=("promote_width", "q_block", "interpret"))
 def _hop_merge_pallas(nd: Array, ni: Array, aqd: Array, aqi: Array,
-                      *, promote_width: int, q_block: int = 512):
+                      *, promote_width: int, q_block: int = 512,
+                      interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -494,6 +500,7 @@ def _hop_merge_pallas(nd: Array, ni: Array, aqd: Array, aqi: Array,
         in_specs=[specs(ep), specs(ep), specs(aqw), specs(aqw)],
         out_specs=(specs(promote_width), specs(promote_width),
                    specs(aqw), specs(aqw)),
+        interpret=interpret,
     )(ndt, nit, aqdt, aqit)
     return (pd[:, :b].T, pi[:, :b].T, od[:, :b].T, oi[:, :b].T)
 

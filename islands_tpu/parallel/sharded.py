@@ -541,7 +541,8 @@ class ArchipelagoSearcher:
 
     def _make(self, k: int, ef: int, expand_width: int, max_iters: int,
               gate: str, promote_width: int | None = None,
-              static_loop: bool = False, final_rescore: int = 0):
+              static_loop: bool = False, final_rescore: int = 0,
+              hop_merge: str = "inline"):
         idx = self.index
         mesh = idx.mesh
         metric = idx.metric
@@ -592,6 +593,7 @@ class ArchipelagoSearcher:
                     max_iters=max_iters,
                     static_iters=static_loop,
                     final_rescore=final_rescore,
+                    hop_merge=hop_merge,
                 )
                 d_loc, i_loc, _ = jax.vmap(
                     lambda q1, s1, e1: search(q1, s1, ctx, scale, entry_point=e1)
@@ -700,6 +702,7 @@ class ArchipelagoSearcher:
         promote_width: int | None = None,
         static_loop: bool = False,
         final_rescore: int = 0,
+        hop_merge: str = "inline",
     ) -> tuple[Array, Array]:
         """queries [B, d] -> (dists [B, k], ids [B, k]) with global ids.
         B must be divisible by the mesh 'dp' axis size. `promote_width`
@@ -734,11 +737,11 @@ class ArchipelagoSearcher:
         # cache is shared across searcher instances.
         key = (idx.mesh, idx.metric, self.exact_scorer, k, ef, expand_width,
                max_iters, gate, int(idx.x_prepped.shape[-1]), idx.has_sketch,
-               promote_width, static_loop, final_rescore)
+               promote_width, static_loop, final_rescore, hop_merge)
         if key not in self._cache:
             self._cache[key] = self._make(k, ef, expand_width, max_iters,
                                           gate, promote_width, static_loop,
-                                          final_rescore)
+                                          final_rescore, hop_merge)
         qp = dist_ops.prep_query(jnp.asarray(queries), idx.metric)
         if gate == "sketch":
             return self._cache[key](

@@ -366,3 +366,32 @@ def test_two_level_pq_parity_with_sequential_oracle(promote_exact):
         )
         _pool_parity(dev_d[qi], dev_i[qi], seq_d, seq_i, qi)
         assert int(dev_nx[qi]) == seq_nx, (qi, int(dev_nx[qi]), seq_nx)
+
+
+def test_hop_merge_fused_parity():
+    """hop_merge='fused' (the Pallas fused dedup+merge+promote op; XLA
+    composition on CPU) must return bit-identical results to the inline
+    path — same dedup-first semantics, same merge network, same promote
+    split — across gates, promote widths and final_rescore."""
+    from islands_tpu.core.build import build_index_with_sketch
+    from islands_tpu.core.config import LeannConfig
+
+    metric = DistanceMetric.EUCLIDEAN
+    n, dim = 400, 32
+    x = make_vectors(n, dim, seed=73)
+    cfg = LeannConfig(metric=metric, m=8, m0=16, reverse_slack=16,
+                      wave_size=128, ef_construction=32, sketch_dims=16)
+    graph, sketch = build_index_with_sketch(x, cfg)
+    s = StoredSearcher(graph, x, metric, sketch=sketch)
+    q = make_vectors(16, dim, seed=74)
+    for kw in (
+        dict(k=10, ef=32, gate="sketch", promote_width=8),
+        dict(k=10, ef=32, gate="sketch", promote_width=16, max_iters=6,
+             final_rescore=32),
+        dict(k=5, ef=16, gate="sketch", promote_width=4, expand_width=2),
+    ):
+        d_i, ids_i = s.search(q, **kw, hop_merge="inline")
+        d_f, ids_f = s.search(q, **kw, hop_merge="fused")
+        np.testing.assert_array_equal(np.asarray(ids_i), np.asarray(ids_f))
+        np.testing.assert_allclose(np.asarray(d_i), np.asarray(d_f),
+                                   rtol=0, atol=0)

@@ -141,3 +141,17 @@ def test_sketch_gated_static_loop(pq_index):
 
     assert rec(i_s) >= rec(i_w) - 1e-9
     assert rec(i_s) > 0.8
+
+
+def test_two_level_hop_merge_fused_parity(pq_index):
+    """hop_merge='fused' on the two-level PQ path must return identical
+    results to the inline composition (same dedup/merge/promote
+    semantics; the Pallas lowering engages only on TPU)."""
+    idx, x, q = pq_index
+    provider = InMemoryEmbeddingProvider(x)
+    kw = dict(k=10, provider=provider, ef=32, max_iters=12,
+              routing_size=256, promote_width=8, final_rescore=32)
+    d_i, ids_i = idx.search_two_level(q, hop_merge="inline", **kw)
+    d_f, ids_f = idx.search_two_level(q, hop_merge="fused", **kw)
+    np.testing.assert_array_equal(ids_i, ids_f)
+    np.testing.assert_allclose(d_i, d_f, rtol=0, atol=0)
